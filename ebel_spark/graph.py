@@ -1,0 +1,455 @@
+"""Graph materialization: deduplicated node/edge tables + post-passes.
+
+Replaces the reference's one-OrientDB-command-per-node/edge import loop
+(/root/reference/ebel/manager/orientdb/importer.py:307-431) with bulk
+DataFrame algebra:
+
+- node identity   = sha256(node_class|bel)  (the (bel, class) rid cache,
+                    importer.py:53-56, without any lookup)
+- edge identity   = hash of the 7-tuple profile (importer.py:336-348);
+                    duplicate edges merge their document sets via a salted
+                    two-phase aggregation instead of read-modify-write
+                    (importer.py:353-356)
+- pure tagging    <- biodbs/bel.py:489-494
+- protein->rna->gene generation  <- biodbs/bel.py:622-674
+- involved_genes/involved_other rollup  <- biodbs/bel.py:555-598
+- species tagging <- biodbs/bel.py:419-454
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .belc.vocab import (
+    GENE_LIKE_CLASSES,
+    INVOLVED_GENES_EDGES,
+    INVOLVED_OTHER_EDGES,
+    NODE_CLASS_ANCESTORS,
+    PURE_CLASSES,
+    RELATION_CATEGORY,
+    SPECIES_NAMESPACE,
+)
+
+BIO_OBJECT_CLASSES = frozenset(
+    c for c, anc in NODE_CLASS_ANCESTORS.items() if "bio_object" in anc
+)
+
+_NULL = "\x00"
+
+
+def node_id_col(cls_col, bel_col):
+    """Spark-side twin of belc.canon.node_id (sha256('class|bel')[:32])."""
+    return F.substring(F.sha2(F.concat_ws("|", cls_col, bel_col), 256), 1, 32)
+
+
+def edge_key_col(relation, subj, obj, ctype, cref, evidence, anno_json):
+    """Spark-side twin of belc.canon.edge_profile."""
+    raw = F.concat_ws(
+        "\x1f",
+        relation, subj, obj,
+        F.coalesce(ctype, F.lit(_NULL)),
+        F.coalesce(cref, F.lit(_NULL)),
+        F.coalesce(F.regexp_replace(evidence, "\n", " "), F.lit("")),
+        anno_json,
+    )
+    return F.substring(F.sha2(raw, 256), 1, 32)
+
+
+# ---------------------------------------------------------------------------
+# nodes
+# ---------------------------------------------------------------------------
+
+def materialize_nodes(nodes_tbl: DataFrame,
+                      modifiers_materialized: bool = False) -> DataFrame:
+    """Dedup per-file node rows into the global node table.
+
+    Shuffle key = (node_class, bel); hot nodes (p(HGNC:"TNF") in every file)
+    collapse map-side via partial aggregation, so skew never reaches the
+    shuffle in volume.
+
+    Pure tagging mirrors the reference exactly (biodbs/bel.py:489-494: "no
+    outgoing has__{fragment,variant,pmod,location,gmod} edges"): when
+    modifier nodes are NOT materialized (the reference true_values behavior)
+    no such edges exist, so every node of a pure-eligible class is pure —
+    including modified terms like p(HGNC:"IL2",pmod(Ph)).  Only with
+    ``modifiers_materialized`` does ``has_modifiers`` gate purity.
+    """
+    deduped = (
+        nodes_tbl.groupBy("node_class", "bel")
+        .agg(
+            F.first("namespace", ignorenulls=True).alias("namespace"),
+            F.first("name", ignorenulls=True).alias("name"),
+            F.first("props", ignorenulls=True).alias("props"),
+            F.max("has_modifiers").alias("has_modifiers"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+    )
+    pure_classes = F.array(*[F.lit(c) for c in sorted(PURE_CLASSES)])
+    is_pure = F.array_contains(pure_classes, F.col("node_class"))
+    if modifiers_materialized:
+        is_pure = is_pure & ~F.col("has_modifiers")
+    return (
+        deduped
+        .withColumn("node_id", node_id_col(F.col("node_class"), F.col("bel")))
+        .withColumn("pure", is_pure)
+        .select(
+            "node_id", "node_class", "bel", "namespace", "name", "props",
+            "has_modifiers", "pure", "n_occurrences",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# edges
+# ---------------------------------------------------------------------------
+
+def materialize_edges(statements_tbl: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Dedup statement edges on the 7-tuple profile, merging document sets.
+
+    Two-phase salted aggregation: an edge repeated across millions of files
+    is a hot groupBy key whose collect_set payload would funnel into one
+    reducer — phase 1 aggregates per (edge_key, salt), phase 2 merges the
+    <= n_salts partials.
+    """
+    st = statements_tbl.filter(
+        F.col("edge_key").isNotNull() & ~F.col("nested")
+    )
+    salted = st.withColumn(
+        "salt", F.pmod(F.xxhash64("file_sha"), F.lit(n_salts))
+    )
+    firsts = [
+        F.first(c).alias(c)
+        for c in (
+            "relation", "relation_category", "subject_id", "subject_bel",
+            "subject_class", "object_id", "object_bel", "object_class",
+            "citation_type", "citation_ref", "citation_title",
+            "citation_pub_date", "citation_author_list", "citation_comment",
+            "evidence", "annotation", "pmid",
+        )
+    ]
+    phase1 = salted.groupBy("edge_key", "salt").agg(
+        F.collect_set("file_sha").alias("doc_part"),
+        F.count(F.lit(1)).alias("cnt"),
+        *firsts,
+    )
+    phase2 = phase1.groupBy("edge_key").agg(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("doc_part")))
+        ).alias("document_ids"),
+        F.sum("cnt").alias("n_statements"),
+        *firsts,
+    )
+    return (
+        phase2
+        .withColumn("evidence", F.regexp_replace("evidence", "\n", " "))
+        .withColumn(
+            "citation",
+            F.struct(
+                F.col("citation_type").alias("type"),
+                F.col("citation_title").alias("title"),
+                F.col("citation_ref").alias("ref"),
+                F.col("citation_pub_date").alias("pub_date"),
+                F.col("citation_author_list").alias("author_list"),
+                F.col("citation_comment").alias("comment"),
+            ),
+        )
+        .select(
+            F.col("edge_key").alias("edge_id"),
+            "relation", "relation_category",
+            "subject_id", "subject_class", "subject_bel",
+            "object_id", "object_class", "object_bel",
+            "citation", "evidence", "annotation", "pmid",
+            "document_ids", "n_statements",
+        )
+    )
+
+
+def materialize_structural_edges(child_edges_tbl: DataFrame) -> DataFrame:
+    """has__<class> edges, deduped, with merged document sets."""
+    return (
+        child_edges_tbl.groupBy("relation", "subject_id", "object_id")
+        .agg(
+            F.array_sort(F.collect_set("file_sha")).alias("document_ids"),
+            F.count(F.lit(1)).alias("n_statements"),
+        )
+        .withColumn("relation_category", F.lit("ebel"))
+        .withColumn(
+            "edge_id",
+            F.substring(
+                F.sha2(F.concat_ws("\x1f", "relation", "subject_id",
+                                   "object_id"), 256), 1, 32),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# protein -> rna -> gene generation (compiler pass)
+# ---------------------------------------------------------------------------
+
+def _missing_counterparts(
+    nodes: DataFrame, edges_in: DataFrame,
+    to_class: str, from_class: str, edge_name: str, bel_fn: str,
+) -> tuple[DataFrame, DataFrame]:
+    """biodbs/bel.py:640-674: for each pure `to_class` node without an
+    incoming `edge_name` edge, create the pure `from_class` counterpart and
+    the edge from it."""
+    has_in = (
+        edges_in.filter(F.col("relation") == edge_name)
+        .select("object_id").distinct()
+    )
+    targets = (
+        nodes.filter(
+            (F.col("node_class") == to_class) & F.col("pure")
+            & F.col("namespace").isNotNull() & F.col("name").isNotNull()
+        )
+        .join(has_in, nodes.node_id == has_in.object_id, "left_anti")
+        .select("node_id", "namespace", "name")
+    )
+    new_bel = F.concat(F.lit(bel_fn + "("), F.col("namespace"),
+                       F.lit(':"'), F.col("name"), F.lit('")'))
+    new_nodes = targets.select(
+        F.lit(from_class).alias("node_class"),
+        new_bel.alias("bel"),
+        "namespace", "name",
+        F.lit(None).cast("string").alias("props"),
+        F.lit(False).alias("has_modifiers"),
+        F.lit(True).alias("pure"),
+        F.lit(0).cast("long").alias("n_occurrences"),
+    ).withColumn("node_id", node_id_col(F.col("node_class"), F.col("bel")))
+
+    new_edges = targets.select(
+        F.lit(edge_name).alias("relation"),
+        F.lit("genomic").alias("relation_category"),
+        node_id_col(F.lit(from_class), new_bel).alias("subject_id"),
+        F.col("node_id").alias("object_id"),
+    ).withColumn(
+        "edge_id",
+        edge_key_col(F.col("relation"), F.col("subject_id"),
+                     F.col("object_id"), F.lit(None).cast("string"),
+                     F.lit(None).cast("string"), F.lit(""), F.lit("{}")),
+    )
+    return new_nodes, new_edges
+
+
+_NODE_COLS = ("node_id", "node_class", "bel", "namespace", "name", "props",
+              "has_modifiers", "pure", "n_occurrences")
+
+
+def _union_new_nodes(nodes: DataFrame, new_nodes: DataFrame) -> DataFrame:
+    """get_create_rid semantics: only add counterpart nodes whose
+    (class, bel) does not already exist (odb_meta.py:975-985)."""
+    fresh = (
+        new_nodes.join(
+            nodes.select("node_class", "bel"), ["node_class", "bel"],
+            "left_anti",
+        )
+        .dropDuplicates(["node_class", "bel"])
+    )
+    return nodes.select(*_NODE_COLS).unionByName(fresh.select(*_NODE_COLS))
+
+
+def protein2gene(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Add missing translated_to (rna->protein) then transcribed_to
+    (gene->rna) edges + pure counterpart nodes.  Returns (nodes, new_edges).
+    """
+    rna_nodes, tl_edges = _missing_counterparts(
+        nodes, edges, to_class="protein", from_class="rna",
+        edge_name="translated_to", bel_fn="r")
+    nodes2 = _union_new_nodes(nodes, rna_nodes)
+
+    gene_nodes, tc_edges = _missing_counterparts(
+        nodes2, edges, to_class="rna", from_class="gene",
+        edge_name="transcribed_to", bel_fn="g")
+    nodes3 = _union_new_nodes(nodes2, gene_nodes)
+
+    new_edges = tl_edges.unionByName(tc_edges)
+    return nodes3, new_edges
+
+
+# ---------------------------------------------------------------------------
+# involved rollup + species (bounded-depth traversal as unrolled self-joins)
+# ---------------------------------------------------------------------------
+
+def descendant_closure(
+    struct_edges: DataFrame, relations: tuple[str, ...], max_depth: int = 8
+) -> DataFrame:
+    """(root_id, desc_id) pairs reachable over the given has__* relations,
+    NOT including the trivial self pair.  BEL terms are trees with nesting
+    depth bounded by the grammar's practical use (<= max_depth), so the
+    closure unrolls into one static DAG — no iterative driver actions.
+    """
+    e = (
+        struct_edges.filter(F.col("relation").isin(list(relations)))
+        .select(F.col("subject_id").alias("src"), F.col("object_id").alias("dst"))
+        .distinct()
+    )
+    level = e.select(F.col("src").alias("root"), F.col("dst").alias("nid"))
+    acc = level
+    frontier = level
+    for _ in range(max_depth - 1):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.nid") == F.col("e.src"))
+            .select(F.col("f.root").alias("root"), F.col("e.dst").alias("nid"))
+        )
+        acc = acc.unionByName(nxt)
+        frontier = nxt
+    return acc.distinct()
+
+
+def involved_rollup(
+    nodes: DataFrame, struct_edges: DataFrame, max_depth: int = 8,
+    genes_closure: DataFrame | None = None,
+) -> DataFrame:
+    """node_id -> involved_genes / involved_other arrays
+    (biodbs/bel.py:555-598; traversal includes the start node).
+
+    ``genes_closure`` lets the caller reuse one cached closure across the
+    involved/species passes instead of recomputing the traversal DAG.
+    """
+    self_pairs = nodes.select(
+        F.col("node_id").alias("root"), F.col("node_id").alias("nid")
+    )
+
+    def rollup(relations, keep_gene_like: bool, colname: str) -> DataFrame:
+        if keep_gene_like and genes_closure is not None:
+            reach = genes_closure
+        else:
+            reach = descendant_closure(struct_edges, relations, max_depth)
+        reach = reach.unionByName(self_pairs).distinct()
+        d = nodes.select(
+            F.col("node_id").alias("nid"),
+            F.col("node_class").alias("d_class"),
+            F.col("name").alias("d_name"),
+        )
+        joined = reach.join(d, "nid")
+        gene_like = F.col("d_class").isin(list(GENE_LIKE_CLASSES))
+        cond = gene_like if keep_gene_like else (
+            ~gene_like & F.col("d_name").isNotNull()
+        )
+        return (
+            joined.filter(cond & F.col("d_name").isNotNull())
+            .groupBy("root")
+            .agg(F.array_sort(F.collect_set("d_name")).alias(colname))
+        )
+
+    genes = rollup(INVOLVED_GENES_EDGES, True, "involved_genes")
+    other = rollup(INVOLVED_OTHER_EDGES, False, "involved_other")
+    return (
+        nodes.select("node_id")
+        .join(genes, nodes.node_id == genes.root, "left").drop("root")
+        .join(other, nodes.node_id == other.root, "left").drop("root")
+        .withColumn("involved_genes", F.coalesce("involved_genes", F.array()))
+        .withColumn("involved_other", F.coalesce("involved_other", F.array()))
+    )
+
+
+def species_map_expr():
+    m = []
+    for ns, taxid in SPECIES_NAMESPACE.items():
+        m.extend([F.lit(ns), F.lit(taxid)])
+    return F.create_map(*m)
+
+
+def species_tagging(
+    nodes: DataFrame, struct_edges: DataFrame, edges: DataFrame,
+    max_depth: int = 8, genes_closure: DataFrame | None = None,
+) -> DataFrame:
+    """node_id -> species taxid (biodbs/bel.py:419-454): direct namespace
+    rule for protein/rna/gene; unique-descendant-namespace rule for nodes
+    incident to at least one bel_relation edge."""
+    smap = species_map_expr()
+
+    direct = nodes.filter(
+        F.col("node_class").isin(list(GENE_LIKE_CLASSES))
+        & F.col("namespace").isin(list(SPECIES_NAMESPACE))
+    ).select("node_id", F.element_at(smap, F.col("namespace")).alias("species"))
+
+    incident = (
+        edges.select(F.col("subject_id").alias("node_id"))
+        .unionByName(edges.select(F.col("object_id").alias("node_id")))
+        .distinct()
+    )
+    if genes_closure is None:
+        genes_closure = descendant_closure(struct_edges, INVOLVED_GENES_EDGES,
+                                           max_depth)
+    reach = genes_closure
+    self_pairs = incident.select(
+        F.col("node_id").alias("root"), F.col("node_id").alias("nid"))
+    reach = (
+        incident.join(reach, incident.node_id == reach.root)
+        .select("root", "nid")
+        .unionByName(self_pairs)
+    )
+    d = nodes.select(
+        F.col("node_id").alias("nid"), F.col("node_class").alias("d_class"),
+        F.col("namespace").alias("d_ns"),
+    )
+    uniq = (
+        reach.join(d, "nid")
+        .filter(F.col("d_class").isin(list(GENE_LIKE_CLASSES)))
+        .groupBy("root")
+        .agg(F.collect_set("d_ns").alias("nss"))
+        .filter(
+            (F.size("nss") == 1)
+            & F.element_at("nss", 1).isin(list(SPECIES_NAMESPACE))
+        )
+        .select(
+            F.col("root").alias("node_id"),
+            F.element_at(smap, F.element_at("nss", 1)).alias("species"),
+        )
+    )
+    both = direct.unionByName(uniq).groupBy("node_id").agg(
+        F.max("species").alias("species")
+    )
+    return both
+
+
+def count_nodes_by_class(nodes: DataFrame) -> dict:
+    """Polymorphic per-class counts (OrientDB counts include subclasses),
+    for parity with /root/reference/tests/test_manager/true_values.py."""
+    rows = nodes.groupBy("node_class").count().collect()
+    out = {c: 0 for c in NODE_CLASS_ANCESTORS}
+    for r in rows:
+        for anc in NODE_CLASS_ANCESTORS.get(r["node_class"], {r["node_class"]}):
+            out[anc] = out.get(anc, 0) + r["count"]
+    return out
+
+
+_EDGE_ANCESTORS: dict[str, tuple[str, ...]] = {}
+for _rel, _cat in RELATION_CATEGORY.items():
+    _EDGE_ANCESTORS[_rel] = (_rel, _cat, "bel_relation")
+for _rel in (
+    "has__protein", "has__rna", "has__gene", "has__abundance",
+    "has__population", "has__location", "has__from_location",
+    "has__to_location", "has__fragment", "has__pmod", "has__gmod",
+    "has__complex", "has__micro_rna", "has__variant", "has__reactants",
+    "has__products", "has__composite", "has_fragmented_protein",
+):
+    _EDGE_ANCESTORS[_rel] = (_rel, "ebel_relation")
+for _rel in ("has_modified_protein", "has_modified_gene"):
+    _EDGE_ANCESTORS[_rel] = (_rel, "has_modified", "ebel_relation")
+for _rel in ("has_variant_gene", "has_variant_rna", "has_variant_protein",
+             "has_variant_micro_rna"):
+    _EDGE_ANCESTORS[_rel] = (_rel, "has_variant_obj", "ebel_relation")
+for _rel in ("has_located_gene", "has_located_rna", "has_located_protein",
+             "has_located_micro_rna", "has_located_complex",
+             "has_located_abundance", "has_located_population"):
+    _EDGE_ANCESTORS[_rel] = (_rel, "has_located", "ebel_relation")
+
+_ALL_EDGE_CLASSES = sorted(
+    {"bel_relation", "causal", "correlative", "genomic", "other",
+     "deprecated", "compiler", "ebel_relation", "has_modified",
+     "has_variant_obj", "has_located", "pathway_interaction", "has_ppi"}
+    | set(_EDGE_ANCESTORS)
+)
+
+
+def count_edges_by_class(edges: DataFrame) -> dict:
+    rows = edges.groupBy("relation").count().collect()
+    out = {c: 0 for c in _ALL_EDGE_CLASSES}
+    for r in rows:
+        for anc in _EDGE_ANCESTORS.get(r["relation"], (r["relation"],)):
+            out[anc] = out.get(anc, 0) + r["count"]
+    return out

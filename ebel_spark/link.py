@@ -1,0 +1,175 @@
+"""Entity linking & canonicalization via broadcast joins.
+
+Mirrors the reference enrichment passes:
+- HGNC symbol + prev-symbol correction:
+  /root/reference/ebel/manager/orientdb/biodbs/hgnc.py:265-342
+- UniProt accession per (namespace, taxid):  biodbs/uniprot.py:286-367
+  ("first accession wins" caveat at uniprot.py:308-309 is made deterministic
+  with min-by-accession)
+- ChEBI compound ids for pure CHEBI abundances:  biodbs/chebi.py:113-132
+
+All dimension tables are broadcast (dimension-sized) — the fact-side node
+table never shuffles.  One deliberate semantic difference vs the reference:
+a prev-symbol correction rewrites `name`/`bel` but KEEPS the original
+node_id, so edge references stay valid (the reference keeps the OrientDB
+@rid for the same reason, hgnc.py:283-289).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .graph import BIO_OBJECT_CLASSES
+from .belc.vocab import GENE_LIKE_CLASSES
+
+
+def link_hgnc(nodes: DataFrame, hgnc: DataFrame) -> DataFrame:
+    """Adds hgnc_symbol / label / location; corrects outdated symbols via
+    prev_symbols.  Returns nodes with extra columns:
+    hgnc_symbol, label, location, name_corrected (original wrong name)."""
+    bio = F.col("node_class").isin(list(BIO_OBJECT_CLASSES))
+    is_hgnc = bio & (F.col("namespace") == "HGNC") & F.col("name").isNotNull()
+
+    dim = hgnc.select(
+        F.col("symbol").alias("h_symbol"),
+        F.col("label").alias("h_label"),
+        F.col("location").alias("h_location"),
+    )
+    # direct symbol match
+    out = nodes.join(
+        F.broadcast(dim),
+        is_hgnc & (F.col("name") == F.col("h_symbol")),
+        "left",
+    )
+
+    # prev-symbol correction for HGNC names that matched nothing
+    prev = hgnc.select(
+        F.explode("prev_symbols").alias("p_prev"),
+        F.col("symbol").alias("p_symbol"),
+        F.col("label").alias("p_label"),
+        F.col("location").alias("p_location"),
+    ).dropDuplicates(["p_prev"])
+    # skip corrections whose target symbol is already used by another node
+    # (hgnc.py:283-291: "correction only possible if ...")
+    existing_names = (
+        nodes.filter(is_hgnc).select(F.col("name").alias("used_name")).distinct()
+    )
+    prev = prev.join(
+        existing_names, prev.p_symbol == existing_names.used_name, "left_anti"
+    )
+
+    out = out.join(
+        F.broadcast(prev),
+        is_hgnc & F.col("h_symbol").isNull() & (F.col("name") == F.col("p_prev")),
+        "left",
+    )
+
+    corrected = F.col("p_symbol").isNotNull()
+    out = (
+        out
+        .withColumn("name_corrected", F.when(corrected, F.col("name")))
+        .withColumn(
+            "bel",
+            F.when(
+                corrected,
+                # regex-patch the canonical string (hgnc.py:287-288)
+                F.regexp_replace(
+                    F.col("bel"),
+                    F.concat(F.lit('(?<=:")'), F.col("name"), F.lit('(?=")')),
+                    F.col("p_symbol"),
+                ),
+            ).otherwise(F.col("bel")),
+        )
+        .withColumn("name",
+                    F.when(corrected, F.col("p_symbol")).otherwise(F.col("name")))
+        .withColumn("hgnc_symbol", F.coalesce("h_symbol", "p_symbol"))
+        .withColumn("label", F.coalesce("h_label", "p_label"))
+        .withColumn(
+            "location",
+            F.when(F.col("node_class") == "gene",
+                   F.coalesce("h_location", "p_location")),
+        )
+        .drop("h_symbol", "h_label", "h_location",
+              "p_prev", "p_symbol", "p_label", "p_location")
+    )
+    return out
+
+
+_UNIPROT_NS_TAXID = (("HGNC", 9606), ("MGI", 10090), ("RGD", 10116))
+
+
+def link_uniprot(nodes: DataFrame, uniprot: DataFrame) -> DataFrame:
+    """Adds uniprot accession + recommended-name label to protein nodes."""
+    # deterministic "first" accession per (taxid, symbol)
+    w = Window.partitionBy("taxid", "gene_symbol").orderBy("accession")
+    dim = (
+        uniprot.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("gene_symbol").alias("u_symbol"),
+            F.col("taxid").alias("u_taxid"),
+            F.col("accession").alias("u_accession"),
+            F.col("recommended_name").alias("u_recname"),
+        )
+    )
+    ns_taxid = F.create_map(
+        *[x for ns, t in _UNIPROT_NS_TAXID for x in (F.lit(ns), F.lit(t))]
+    )
+    is_protein = F.col("node_class") == "protein"
+    by_symbol = (
+        is_protein
+        & F.col("namespace").isin([ns for ns, _ in _UNIPROT_NS_TAXID])
+        & (F.col("name") == F.col("u_symbol"))
+        & (F.element_at(ns_taxid, F.col("namespace")) == F.col("u_taxid"))
+    )
+    out = nodes.join(F.broadcast(dim), by_symbol, "left")
+
+    # UNIPROT namespace: the name IS the accession (uniprot.py:346-367)
+    acc_dim = uniprot.select(
+        F.col("accession").alias("a_accession"),
+        F.col("recommended_name").alias("a_recname"),
+        F.col("taxid").alias("a_taxid"),
+    ).dropDuplicates(["a_accession"])
+    out = out.join(
+        F.broadcast(acc_dim),
+        is_protein & (F.col("namespace") == "UNIPROT")
+        & (F.col("name") == F.col("a_accession")),
+        "left",
+    )
+    return (
+        out
+        .withColumn("uniprot", F.coalesce("u_accession", "a_accession"))
+        .withColumn("uniprot_label", F.coalesce("u_recname", "a_recname"))
+        .withColumn("uniprot_taxid", F.coalesce("u_taxid", "a_taxid"))
+        .drop("u_symbol", "u_taxid", "u_accession", "u_recname",
+              "a_accession", "a_recname", "a_taxid")
+    )
+
+
+def link_chebi(nodes: DataFrame, chebi: DataFrame) -> DataFrame:
+    """Adds chebi compound id to pure CHEBI bio_objects (chebi.py:113-132)."""
+    dim = chebi.select(
+        F.col("name").alias("c_name"), F.col("chebi_id").alias("c_id")
+    ).dropDuplicates(["c_name"])
+    cond = (
+        F.col("node_class").isin(list(BIO_OBJECT_CLASSES))
+        & (F.col("namespace") == "CHEBI")
+        & F.col("pure")
+        & (F.col("name") == F.col("c_name"))
+    )
+    return (
+        nodes.join(F.broadcast(dim), cond, "left")
+        .withColumnRenamed("c_id", "chebi")
+        .drop("c_name")
+    )
+
+
+def link_all(nodes: DataFrame, hgnc: DataFrame, uniprot: DataFrame,
+             chebi: DataFrame) -> DataFrame:
+    """HGNC -> UniProt -> ChEBI, in the reference's enrichment order
+    (biodbs/bel.py:361-383)."""
+    out = link_hgnc(nodes, hgnc)
+    out = link_uniprot(out, uniprot)
+    out = link_chebi(out, chebi)
+    return out

@@ -1,0 +1,159 @@
+"""Distributed BEL parsing: the one Python surface of the pipeline.
+
+`parse_sources` maps the source table `(repo, path, commit, lang, content)`
+through the clean-room compiler with ``mapInPandas`` (Arrow batches, one
+Python process per core — replaces the reference's single-threaded Lark loop,
+/root/reference/ebel/parser.py:304-336).  Everything downstream is plain
+DataFrame algebra.
+
+Scale notes:
+- the file row is the unit of work; SET/UNSET context is order-dependent
+  *within* a file only (importer.py:243-305), so a row never splits across
+  partitions and no cross-partition state exists.
+- sha256(content) is computed JVM-side *before* the UDF and carried through
+  as the per-row invariant (BASELINE.json input_hint).
+- explode helpers derive the statement / node / entry / error tables; in the
+  pipeline the parsed table is persisted first so the UDF runs once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .belc.scriptproc import process_file
+from .schemas import PARSED_SCHEMA
+
+
+def _make_parser(materialize_modifiers: bool, keep_ir: bool):
+    cols = [f.name for f in PARSED_SCHEMA.fields]
+
+    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for row in pdf.itertuples(index=False):
+                r = process_file(
+                    row.content or "",
+                    materialize_modifiers=materialize_modifiers,
+                    keep_ir=keep_ir,
+                )
+                out["file_sha"].append(row.file_sha)
+                out["repo"].append(row.repo)
+                out["path"].append(row.path)
+                out["commit"].append(row.commit)
+                out["lang"].append(row.lang)
+                out["ok"].append(r["ok"])
+                out["document"].append(r["document"])
+                out["definitions"].append(r["definitions"])
+                out["ns_entries"].append(r["ns_entries"])
+                out["anno_entries"].append(r["anno_entries"])
+                out["syntax_errors"].append(r["syntax_errors"])
+                out["statements"].append(r["statements"])
+                out["nodes"].append(r["nodes"])
+                out["child_edges"].append(r["child_edges"])
+                out["n_statements"].append(len(r["statements"]))
+                out["n_syntax_errors"].append(len(r["syntax_errors"]))
+                out["ir_json"].append(r["ir_json"])
+            yield pd.DataFrame(out)
+
+    return parse_batches
+
+
+def with_file_sha(src: DataFrame) -> DataFrame:
+    """Attach the per-row invariant sha256(content) (JVM-side, codegen)."""
+    return src.withColumn("file_sha", F.sha2(F.col("content"), 256))
+
+
+def parse_sources(
+    src: DataFrame,
+    materialize_modifiers: bool = False,
+    keep_ir: bool = False,
+    repartition: int | None = None,
+) -> DataFrame:
+    """source table -> one parsed row per file (see PARSED_SCHEMA)."""
+    if "file_sha" not in src.columns:
+        src = with_file_sha(src)
+    if repartition:
+        # spread files evenly across cores; parse cost ~ content size, the
+        # hash key decorrelates adjacent large files
+        src = src.repartition(repartition, "file_sha")
+    fn = _make_parser(materialize_modifiers, keep_ir)
+    return src.select(
+        "file_sha", "repo", "path", "commit", "lang", "content"
+    ).mapInPandas(fn, PARSED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# derived (exploded) tables — pure column ops, no Python
+# ---------------------------------------------------------------------------
+
+def statements_table(parsed: DataFrame) -> DataFrame:
+    st = parsed.select(
+        "file_sha", "repo", "path",
+        F.explode("statements").alias("s"),
+    )
+    return st.select("file_sha", "repo", "path", "s.*")
+
+
+def nodes_table(parsed: DataFrame) -> DataFrame:
+    return parsed.select(
+        "file_sha", F.explode("nodes").alias("n")
+    ).select("file_sha", "n.*")
+
+
+def child_edges_table(parsed: DataFrame) -> DataFrame:
+    return parsed.select(
+        "file_sha", F.explode("child_edges").alias("e")
+    ).select("file_sha", "e.*")
+
+
+def entries_table(parsed: DataFrame) -> DataFrame:
+    """Namespace + annotation usages with positions (validation input)."""
+    ns = parsed.select(
+        "file_sha", F.explode("ns_entries").alias("e")
+    ).select("file_sha", F.lit("ns").alias("kind"), "e.*")
+    anno = parsed.select(
+        "file_sha", F.explode("anno_entries").alias("e")
+    ).select("file_sha", F.lit("anno").alias("kind"), "e.*")
+    return ns.unionByName(anno)
+
+
+def definitions_table(parsed: DataFrame) -> DataFrame:
+    d = parsed.select(
+        "file_sha", F.explode("definitions").alias("d")
+    ).select("file_sha", "d.*")
+    return d.withColumn(
+        "kind", F.when(F.col("is_annotation"), F.lit("anno")).otherwise(F.lit("ns"))
+    )
+
+
+def syntax_errors_table(parsed: DataFrame) -> DataFrame:
+    return parsed.select(
+        "file_sha", F.explode("syntax_errors").alias("e")
+    ).select(
+        "file_sha",
+        F.col("e.error_class").alias("error_class"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("keyword"),
+        F.col("e.entry").alias("entry"),
+        F.col("e.line").alias("line_number"),
+        F.col("e.column").alias("column"),
+        F.col("e.hint").alias("hint"),
+    )
+
+
+def documents_table(parsed: DataFrame) -> DataFrame:
+    """One row per BEL document (mirrors bel_document, importer.py:146-206)."""
+    return parsed.select(
+        "file_sha", "repo", "path", "commit", "lang", "ok",
+        F.element_at("document", "name").alias("name"),
+        F.element_at("document", "version").alias("version"),
+        F.element_at("document", "description").alias("description"),
+        F.split(F.element_at("document", "authors"), r"\s*,\s*").alias("authors"),
+        F.element_at("document", "contact_info").alias("contact_info"),
+        F.element_at("document", "copyright").alias("copyright"),
+        F.element_at("document", "licences").alias("licences"),
+        "n_statements", "n_syntax_errors",
+    )

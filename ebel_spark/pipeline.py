@@ -1,0 +1,325 @@
+"""End-to-end pipeline: parse -> validate -> link -> materialize, with
+per-file lineage checkpointing and resume.
+
+Run via spark-submit (see __main__ at the bottom):
+
+    spark-submit --py-files ebel_spark.zip -m ebel_spark.pipeline \
+        --source synthetic:bench --out /tmp/belout
+
+Resumability (north rule): the parsed table is the checkpoint — it is
+written to parquet before any downstream stage, and a lineage table records
+(file_sha, status, counts, run_id) per file.  A restarted run anti-joins its
+input against the lineage table and only parses new files; graph
+materialization always rebuilds from the full parsed store (cheap relative
+to parsing, and deterministic).
+
+Error gating: mode="force" (default) builds the graph from all files
+without *syntax* errors — the reference's force_json path
+(/root/reference/ebel/validate.py:106-118); mode="strict" additionally
+excludes files with semantic (namespace/annotation) errors — the reference's
+default JSON gate (validate.py:124-126).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import corpus as corpus_mod
+from . import graph as G
+from . import link as L
+from . import parse as P
+from . import validate as V
+from .namespaces import build_dimensions, dims_to_spark
+
+EDGE_COLS = [
+    "edge_id", "relation", "relation_category",
+    "subject_id", "subject_class", "subject_bel",
+    "object_id", "object_class", "object_bel",
+    "citation", "evidence", "annotation", "pmid",
+    "document_ids", "n_statements",
+]
+
+
+def _align_edges(df: DataFrame) -> DataFrame:
+    from pyspark.sql.types import (ArrayType, LongType, MapType, StringType,
+                                   StructField, StructType)
+    cit_t = StructType([
+        StructField("type", StringType()), StructField("title", StringType()),
+        StructField("ref", StringType()), StructField("pub_date", StringType()),
+        StructField("author_list", StringType()),
+        StructField("comment", StringType()),
+    ])
+    defaults = {
+        "subject_class": F.lit(None).cast("string"),
+        "subject_bel": F.lit(None).cast("string"),
+        "object_class": F.lit(None).cast("string"),
+        "object_bel": F.lit(None).cast("string"),
+        "citation": F.lit(None).cast(cit_t),
+        "evidence": F.lit(None).cast("string"),
+        "annotation": F.lit(None).cast(MapType(StringType(),
+                                               ArrayType(StringType()))),
+        "pmid": F.lit(None).cast(LongType()),
+        "document_ids": F.array().cast(ArrayType(StringType())),
+        "n_statements": F.lit(0).cast("long"),
+    }
+    for c in EDGE_COLS:
+        if c not in df.columns:
+            df = df.withColumn(c, defaults[c])
+    return df.select(*EDGE_COLS)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    src: DataFrame,
+    out_dir: str,
+    dims=None,
+    mode: str = "force",
+    resume: bool = False,
+    materialize_modifiers: bool = False,
+    protein2gene: bool = True,
+    enrich: bool = True,
+    involved: bool = True,
+    species: bool = True,
+    with_hints: bool = True,
+    n_salts: int = 16,
+    parse_partitions: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """Run the full pipeline; returns a metrics dict."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    metrics: dict = {"run_id": run_id, "stages": {}}
+    t_total = time.time()
+
+    if dims is None:
+        dims = build_dimensions()
+    dim_dfs = dims_to_spark(spark, dims)
+
+    def stage(name):
+        class _S:
+            def __enter__(self):
+                self.t = time.time()
+                return self
+
+            def __exit__(self, *a):
+                metrics["stages"][name] = round(time.time() - self.t, 3)
+        return _S()
+
+    parsed_path = os.path.join(out_dir, "parsed")
+    lineage_path = os.path.join(out_dir, "lineage")
+
+    # ---- 1. parse (the checkpoint) ---------------------------------------
+    with stage("parse"):
+        src = P.with_file_sha(src)
+        if resume and _exists(spark, lineage_path):
+            done = spark.read.parquet(lineage_path).select("file_sha")
+            todo = src.join(done, "file_sha", "left_anti")
+        else:
+            todo = src
+        parsed_new = P.parse_sources(
+            todo, materialize_modifiers=materialize_modifiers,
+            repartition=parse_partitions,
+        )
+        parsed_new.write.mode("append").parquet(parsed_path)
+        parsed = spark.read.parquet(parsed_path).dropDuplicates(["file_sha"])
+
+        lineage_new = parsed_new_lineage = None  # resolved below
+
+    # lineage for the files parsed in THIS run
+    with stage("lineage"):
+        new_shas = spark.read.parquet(parsed_path).dropDuplicates(["file_sha"])
+        lineage = new_shas.select(
+            "file_sha", "repo", "path",
+            F.when(F.col("ok"), F.lit("parsed_ok"))
+            .otherwise(F.lit("syntax_error")).alias("status"),
+            F.col("n_statements").cast("int").alias("n_statements"),
+            F.col("n_syntax_errors").cast("int").alias("n_errors"),
+            F.lit(run_id).alias("run_id"),
+        )
+        lineage.write.mode("overwrite").parquet(lineage_path)
+
+    # ---- 2. derived tables -------------------------------------------------
+    statements = P.statements_table(parsed)
+    nodes_raw = P.nodes_table(parsed)
+    child_edges_raw = P.child_edges_table(parsed)
+    entries = P.entries_table(parsed)
+    defs = P.definitions_table(parsed)
+
+    # ---- 3. validation -------------------------------------------------------
+    with stage("validate"):
+        ok_files = parsed.filter("ok").select("file_sha")
+        sem_errors = V.semantic_errors(
+            entries.join(ok_files, "file_sha", "left_semi"),
+            defs.join(ok_files, "file_sha", "left_semi"),
+            dim_dfs["ns_dict"], dim_dfs["anno_dict"],
+            with_hints=with_hints,
+        )
+        syn_errors = P.syntax_errors_table(parsed)
+        errors = syn_errors.unionByName(sem_errors)
+        errors.write.mode("overwrite").parquet(os.path.join(out_dir, "errors"))
+        errors = spark.read.parquet(os.path.join(out_dir, "errors"))
+        metrics["n_errors"] = errors.count()
+
+    # ---- 4. gate files -------------------------------------------------------
+    if mode == "strict":
+        bad = errors.select("file_sha").distinct()
+        valid_files = parsed.select("file_sha", "ok").filter("ok") \
+            .join(bad, "file_sha", "left_anti").select("file_sha")
+    else:
+        valid_files = parsed.filter("ok").select("file_sha")
+
+    # ---- 5. graph materialization --------------------------------------------
+    # Each super-stage is checkpointed to parquet so downstream stages never
+    # re-execute the parse/aggregate DAG — at 100 TB the alternative is a
+    # multi-x recompute of the most expensive stages.
+    def _ckpt(df: DataFrame, name: str) -> DataFrame:
+        p = os.path.join(out_dir, "_stage", name)
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    with stage("materialize"):
+        st_valid = statements.join(valid_files, "file_sha", "left_semi")
+        nodes = _ckpt(
+            G.materialize_nodes(
+                nodes_raw.join(valid_files, "file_sha", "left_semi"),
+                modifiers_materialized=materialize_modifiers),
+            "nodes0")
+        edges_stmt = _ckpt(G.materialize_edges(st_valid, n_salts=n_salts),
+                           "edges_stmt")
+        struct_edges = _ckpt(
+            G.materialize_structural_edges(
+                child_edges_raw.join(valid_files, "file_sha", "left_semi")),
+            "struct_edges")
+
+        if protein2gene:
+            nodes, p2g_edges = G.protein2gene(nodes, edges_stmt)
+            nodes = _ckpt(nodes, "nodes1")
+            edges = _align_edges(edges_stmt).unionByName(
+                _align_edges(p2g_edges))
+        else:
+            edges = _align_edges(edges_stmt)
+
+        all_edges = edges.unionByName(_align_edges(
+            struct_edges.select("edge_id", "relation", "relation_category",
+                                "subject_id", "object_id", "document_ids",
+                                "n_statements")))
+        all_edges.write.mode("overwrite") \
+            .partitionBy("relation_category") \
+            .parquet(os.path.join(out_dir, "edges"))
+        edges_out = spark.read.parquet(os.path.join(out_dir, "edges"))
+
+    with stage("rollup"):
+        if involved or species:
+            closure = G.descendant_closure(
+                struct_edges, G.INVOLVED_GENES_EDGES).persist()
+        if involved:
+            inv = G.involved_rollup(nodes, struct_edges,
+                                    genes_closure=closure)
+            nodes = nodes.join(inv, "node_id", "left")
+        if species:
+            sp = G.species_tagging(
+                nodes, struct_edges,
+                edges_out.filter(F.col("relation_category") != "ebel"),
+                genes_closure=closure)
+            nodes = nodes.join(sp, "node_id", "left")
+        if involved or species:
+            nodes = _ckpt(nodes, "nodes2")
+            closure.unpersist()
+
+    with stage("link"):
+        if enrich:
+            nodes = L.link_all(nodes, dim_dfs["hgnc"], dim_dfs["uniprot"],
+                               dim_dfs["chebi"])
+
+    # ---- 6. write output tables ------------------------------------------------
+    with stage("write"):
+        nodes.write.mode("overwrite") \
+            .partitionBy("node_class") \
+            .parquet(os.path.join(out_dir, "nodes"))
+        P.documents_table(parsed).write.mode("overwrite") \
+            .parquet(os.path.join(out_dir, "documents"))
+
+    nodes_out = spark.read.parquet(os.path.join(out_dir, "nodes"))
+    metrics["n_files"] = parsed.count()
+    metrics["n_valid_files"] = valid_files.count()
+    metrics["n_statements"] = statements.count()
+    metrics["n_triples"] = edges_out.filter(
+        F.col("relation_category") != "ebel").count()
+    metrics["n_nodes"] = nodes_out.count()
+    metrics["n_edges"] = edges_out.count()
+    metrics["wall_s"] = round(time.time() - t_total, 3)
+
+    with open(os.path.join(out_dir, f"metrics_{run_id}.json"), "w") as fd:
+        json.dump(metrics, fd, indent=2)
+    return metrics
+
+
+def verify_invariant(spark: SparkSession, src: DataFrame, out_dir: str) -> int:
+    """Per-row invariant (BASELINE.json): sha256(content) of every source row
+    must appear unchanged in the output documents table.  Returns the number
+    of violating rows (0 = pass)."""
+    docs = spark.read.parquet(os.path.join(out_dir, "documents")) \
+        .select("file_sha").distinct()
+    expected = P.with_file_sha(src).select("file_sha").distinct()
+    return expected.join(docs, "file_sha", "left_anti").count()
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).limit(1).collect()
+        return True
+    except Exception:
+        return False
+
+
+# ---------------------------------------------------------------------------
+# spark-submit entry point
+# ---------------------------------------------------------------------------
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="ebel_spark pipeline")
+    ap.add_argument("--source", default="synthetic:small",
+                    help="parquet path or synthetic:{small|bench|N,M}")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--mode", choices=["force", "strict"], default="force")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--no-enrich", action="store_true")
+    ap.add_argument("--no-involved", action="store_true")
+    ap.add_argument("--no-hints", action="store_true")
+    ap.add_argument("--parse-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from .session import get_spark
+    spark = get_spark(cores=args.cores, app_name="ebel-spark-pipeline")
+
+    if args.source.startswith("synthetic:"):
+        spec = args.source.split(":", 1)[1]
+        if spec == "small":
+            profile = corpus_mod.SMALL
+        elif spec == "bench":
+            profile = corpus_mod.BENCH
+        else:
+            n, m = (int(x) for x in spec.split(","))
+            profile = corpus_mod.CorpusProfile(n_files=n,
+                                               statements_per_file=m)
+        src = corpus_mod.corpus_spark(spark, profile)
+    else:
+        src = spark.read.parquet(args.source)
+
+    metrics = run_pipeline(
+        spark, src, args.out, mode=args.mode, resume=args.resume,
+        enrich=not args.no_enrich, involved=not args.no_involved,
+        with_hints=not args.no_hints,
+        parse_partitions=args.parse_partitions,
+    )
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,261 @@
+"""Distributed namespace/annotation validation.
+
+Re-expresses the reference's per-entry Python/SQL probes
+(/root/reference/ebel/transformers.py:959-1128, ebel/manager/models.py:163-237)
+as DataFrame joins:
+
+- undefined keyword        -> left-anti join entries vs definitions
+- LIST membership          -> join + array_contains
+- PATTERN match            -> join + per-row RLIKE against the pattern column
+- URL dictionary lookup    -> broadcast-hash left-anti join on (keyword, name),
+                              then a broadcast suggestion join for hints
+                              (exact match in other namespaces, else prefix
+                              similarity, else an OLS search URL —
+                              models.py:204-233)
+
+All error rows match the reference report columns
+(/root/reference/ebel/validate.py:273-281).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote_plus, urlencode
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_REPORT_COLS = [
+    "file_sha", "error_class", "url", "keyword", "entry",
+    "line_number", "column", "hint",
+]
+
+
+def _report(df: DataFrame, error_class_col) -> DataFrame:
+    return df.select(
+        "file_sha",
+        error_class_col.alias("error_class"),
+        F.col("url").cast("string").alias("url"),
+        "keyword",
+        F.regexp_replace("entry", "[\n\r]", "").alias("entry"),
+        F.col("line").alias("line_number"),
+        F.col("col").alias("column"),
+        F.col("hint").cast("string").alias("hint"),
+    )
+
+
+def _cls(kind_col, ns_name: str, anno_name: str):
+    return F.when(kind_col == "ns", F.lit(ns_name)).otherwise(F.lit(anno_name))
+
+
+def undefined_keyword_errors(entries: DataFrame, defs: DataFrame) -> DataFrame:
+    """WithoutDefinedNamespace / WithoutDefinedAnnotation
+    (transformers.py:1019-1051)."""
+    missing = entries.join(
+        defs.select("file_sha", "kind", "keyword").distinct(),
+        ["file_sha", "kind", "keyword"],
+        "left_anti",
+    )
+    missing = missing.withColumn("url", F.lit(None)).withColumn("hint", F.lit(None))
+    return _report(
+        missing,
+        _cls(F.col("kind"), "WithoutDefinedNamespace", "WithoutDefinedAnnotation"),
+    )
+
+
+def list_membership_errors(entries: DataFrame, defs: DataFrame) -> DataFrame:
+    """NotInNamespaceList / NotInAnnotationList (transformers.py:991-1017)."""
+    list_defs = defs.filter(F.col("def_type") == "LIST").select(
+        "file_sha", "kind", "keyword", "value_list"
+    )
+    joined = entries.join(list_defs, ["file_sha", "kind", "keyword"])
+    bad = joined.filter(~F.array_contains("value_list", F.col("entry")))
+    bad = bad.withColumn("url", F.lit(None)).withColumn("hint", F.lit(None))
+    return _report(
+        bad, _cls(F.col("kind"), "NotInNamespaceList", "NotInAnnotationList")
+    )
+
+
+def pattern_errors(entries: DataFrame, defs: DataFrame) -> DataFrame:
+    """NotInNamespacePattern / NotInAnnotationPattern
+    (transformers.py:959-989: search with '^'+regex+'$')."""
+    pat_defs = defs.filter(F.col("def_type") == "PATTERN").select(
+        "file_sha", "kind", "keyword", F.col("value").alias("pattern")
+    )
+    joined = entries.join(pat_defs, ["file_sha", "kind", "keyword"])
+    bad = joined.filter(
+        ~F.expr("entry rlike concat('^', pattern, '$')")
+    )
+    bad = bad.withColumn("url", F.lit(None)).withColumn("hint", F.lit(None))
+    return _report(
+        bad, _cls(F.col("kind"), "NotInNamespacePattern", "NotInAnnotationPattern")
+    )
+
+
+def _ols_hint(entry_col):
+    # models.py:233-235
+    return F.concat(
+        F.lit("[OLS suggests](https://www.ebi.ac.uk/ols/search?"),
+        F.lit("q="),
+        # urlencode({'q': entry}, quote_via=quote_plus) equivalent for the
+        # common character set
+        F.regexp_replace(
+            F.regexp_replace(F.col(entry_col), r"%", "%25"), r" ", "+"
+        ),
+        F.lit(")"),
+    )
+
+
+def url_membership_errors(
+    entries: DataFrame,
+    defs: DataFrame,
+    ns_dict: DataFrame,
+    anno_dict: DataFrame,
+    with_hints: bool = True,
+) -> DataFrame:
+    """NotInNamespaceUrl / NotInAnnotationUrl.
+
+    The hot join of the pipeline: every used (keyword, name) occurrence
+    against the namespace dictionaries.  Dictionaries are dimension-sized
+    (<< broadcast threshold) so this is a broadcast-hash join — no shuffle
+    of the big side at all.  Misses are deduplicated to distinct
+    (kind, keyword, entry) before the (more expensive) suggestion joins,
+    mirroring the reference's per-entry memo caches (models.py:183-235).
+    """
+    url_defs = defs.filter(F.col("def_type") == "URL").select(
+        "file_sha", "kind", "keyword", F.col("value").alias("url")
+    )
+    used = entries.join(url_defs, ["file_sha", "kind", "keyword"])
+
+    dictionary = (
+        ns_dict.select(F.lit("ns").alias("kind"), "keyword", "name")
+        .unionByName(
+            anno_dict.select(F.lit("anno").alias("kind"), "keyword", "name")
+        )
+    )
+
+    misses = used.join(
+        F.broadcast(dictionary),
+        (used.kind == dictionary.kind)
+        & (used.keyword == dictionary.keyword)
+        & (used.entry == dictionary.name),
+        "left_anti",
+    )
+
+    if not with_hints:
+        out = misses.withColumn("hint", _ols_hint("entry"))
+    else:
+        distinct_misses = misses.select("kind", "keyword", "entry").distinct()
+
+        # 1) exact-name matches under any keyword (models.py:204-212)
+        exact = distinct_misses.join(
+            F.broadcast(dictionary.select(
+                F.col("kind").alias("d_kind"), F.col("keyword").alias("d_kw"),
+                F.col("name").alias("d_name"),
+            )),
+            (F.col("kind") == F.col("d_kind")) & (F.col("entry") == F.col("d_name")),
+            "left",
+        ).groupBy("kind", "keyword", "entry").agg(
+            F.sort_array(F.collect_set(
+                F.concat(F.col("d_kw"), F.lit(':"'), F.col("d_name"), F.lit('"'))
+            )).alias("alts")
+        )
+
+        # 2) prefix similarity for entries >= 6 chars (models.py:216-229):
+        #    name LIKE entry[:-2]% and len(name) < len(entry)+3, limit 20
+        pfx = distinct_misses.filter(F.length("entry") >= 6).select(
+            "kind", "keyword", "entry",
+            F.expr("substring(entry, 1, length(entry) - 2)").alias("pfx"),
+            F.length("entry").alias("elen"),
+        )
+        similars = pfx.join(
+            F.broadcast(dictionary.select(
+                F.col("kind").alias("d_kind"), F.col("keyword").alias("d_kw"),
+                F.col("name").alias("d_name"),
+            )),
+            (F.col("kind") == F.col("d_kind"))
+            & F.col("d_name").startswith(F.col("pfx"))
+            & (F.length("d_name") < F.col("elen") + 3),
+            "inner",
+        )
+        w = Window.partitionBy("kind", "keyword", "entry").orderBy("d_kw", "d_name")
+        similars = (
+            similars.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 20)
+            .groupBy("kind", "keyword", "entry")
+            .agg(F.sort_array(F.collect_set(
+                F.concat(F.col("d_kw"), F.lit(':"'), F.col("d_name"), F.lit('"'))
+            )).alias("sims"))
+        )
+
+        hints = (
+            distinct_misses
+            .join(exact, ["kind", "keyword", "entry"], "left")
+            .join(similars, ["kind", "keyword", "entry"], "left")
+            .withColumn(
+                "hint",
+                F.when(
+                    F.size(F.coalesce("alts", F.array())) > 0,
+                    F.concat(F.lit("Did you mean: "),
+                             F.array_join("alts", ", ")),
+                ).when(
+                    F.size(F.coalesce("sims", F.array())) > 0,
+                    F.concat(F.lit("Similar: "), F.array_join("sims", ", ")),
+                ).otherwise(_ols_hint("entry")),
+            )
+            .select("kind", "keyword", "entry", "hint")
+        )
+        out = misses.join(F.broadcast(hints), ["kind", "keyword", "entry"], "left")
+
+    return _report(
+        out, _cls(F.col("kind"), "NotInNamespaceUrl", "NotInAnnotationUrl")
+    )
+
+
+def ambiguity_warnings(entries: DataFrame) -> DataFrame:
+    """AlsoUsedInOtherNamespace warning (transformers.py:913-957): the same
+    lower-cased entry appearing under >1 namespace keyword."""
+    ns = entries.filter(F.col("kind") == "ns")
+    keyword_sets = (
+        ns.groupBy("file_sha", F.lower("entry").alias("lentry"))
+        .agg(F.collect_set("keyword").alias("keywords"))
+        .filter(F.size("keywords") > 1)
+    )
+    occ = ns.withColumn("lentry", F.lower("entry"))
+    amb = occ.join(keyword_sets, ["file_sha", "lentry"])
+    amb = amb.withColumn(
+        "hint",
+        F.concat(
+            F.col("entry"), F.lit(" exists also in "),
+            F.array_join(
+                F.sort_array(F.array_remove("keywords", F.col("keyword"))), ", "
+            ),
+        ),
+    ).withColumn("url", F.lit(None))
+    return _report(amb, F.lit("AlsoUsedInOtherNamespace"))
+
+
+def multiple_definition_report(defs: DataFrame) -> DataFrame:
+    """Keywords defined more than once per file (transformers.py:1231-1255)."""
+    return (
+        defs.groupBy("file_sha", "kind", "keyword")
+        .count()
+        .filter(F.col("count") > 1)
+        .withColumnRenamed("count", "n_definitions")
+    )
+
+
+def semantic_errors(
+    entries: DataFrame,
+    defs: DataFrame,
+    ns_dict: DataFrame,
+    anno_dict: DataFrame,
+    with_hints: bool = True,
+) -> DataFrame:
+    """All semantic error families unioned, reference report columns."""
+    return (
+        undefined_keyword_errors(entries, defs)
+        .unionByName(url_membership_errors(entries, defs, ns_dict, anno_dict,
+                                           with_hints=with_hints))
+        .unionByName(list_membership_errors(entries, defs))
+        .unionByName(pattern_errors(entries, defs))
+    )

@@ -1,0 +1,74 @@
+"""End-to-end pipeline test: synthetic corpus -> parse -> validate -> graph,
+with resume and the per-row sha256 invariant (BASELINE.json input_hint)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ebel_spark.corpus import CorpusProfile, corpus_spark
+from ebel_spark.pipeline import run_pipeline, verify_invariant
+
+
+@pytest.fixture(scope="module")
+def out(spark, tmp_path_factory):
+    out_dir = str(tmp_path_factory.mktemp("belout"))
+    profile = CorpusProfile(n_files=20, statements_per_file=30)
+    src = corpus_spark(spark, profile, partitions=4)
+    metrics = run_pipeline(spark, src, out_dir, run_id="t1")
+    return {"dir": out_dir, "metrics": metrics, "src": src}
+
+
+class TestPipelineE2E:
+    def test_metrics_sane(self, out):
+        m = out["metrics"]
+        assert m["n_files"] == 20
+        assert 0 < m["n_valid_files"] <= 20
+        assert m["n_statements"] > 200
+        assert m["n_triples"] > 100
+        assert m["n_nodes"] > 100
+
+    def test_row_invariant(self, spark, out):
+        assert verify_invariant(spark, out["src"], out["dir"]) == 0
+
+    def test_only_syntax_clean_files_in_graph(self, spark, out):
+        lineage = spark.read.parquet(out["dir"] + "/lineage")
+        bad = {r.file_sha for r in
+               lineage.filter("status = 'syntax_error'").collect()}
+        edges = spark.read.parquet(out["dir"] + "/edges")
+        docs = {d for r in edges.select("document_ids").collect()
+                for d in r.document_ids}
+        assert not (docs & bad)
+
+    def test_resume_parses_nothing_new(self, spark, out):
+        m2 = run_pipeline(spark, out["src"], out["dir"], resume=True,
+                          run_id="t2")
+        assert m2["n_files"] == out["metrics"]["n_files"]
+        assert m2["n_triples"] == out["metrics"]["n_triples"]
+        assert m2["n_nodes"] == out["metrics"]["n_nodes"]
+        parsed = spark.read.parquet(out["dir"] + "/parsed")
+        assert parsed.count() == 20  # no duplicate parse rows appended
+
+    def test_node_ids_consistent_between_tables(self, spark, out):
+        nodes = spark.read.parquet(out["dir"] + "/nodes")
+        edges = spark.read.parquet(out["dir"] + "/edges")
+        ids = nodes.select("node_id")
+        dangling = (
+            edges.select(F.col("subject_id").alias("node_id"))
+            .union(edges.select(F.col("object_id").alias("node_id")))
+            .distinct()
+            .join(ids, "node_id", "left_anti")
+            .count()
+        )
+        assert dangling == 0
+
+    def test_hot_gene_skew_present(self, spark, out):
+        """The corpus must be skewed (hot HGNC keys) so the salted
+        aggregation path is actually exercised."""
+        nodes = spark.read.parquet(out["dir"] + "/nodes")
+        top = (
+            nodes.filter("node_class = 'protein'")
+            .orderBy(F.desc("n_occurrences"))
+            .select("n_occurrences").first()
+        )
+        med = nodes.filter("node_class = 'protein'").approxQuantile(
+            "n_occurrences", [0.5], 0.01)[0]
+        assert top.n_occurrences > 5 * med

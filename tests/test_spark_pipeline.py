@@ -1,0 +1,284 @@
+"""Spark-layer tests: parse UDF, validation joins, graph materialization.
+
+Graph-count oracle: /root/reference/tests/test_manager/true_values.py
+(node/edge counts per class after importing basic_import_test with the
+protein2gene extension, polymorphic counts over the class hierarchy).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ebel_spark import graph as G
+from ebel_spark import link as L
+from ebel_spark import parse as P
+from ebel_spark import validate as V
+from ebel_spark.namespaces import build_dimensions, dims_to_spark
+from ebel_spark.schemas import SOURCE_SCHEMA
+
+from conftest import load_true_values
+
+REF_DATA = "/root/reference/tests/data"
+
+
+def _source_df(spark, contents: list[str]):
+    rows = [
+        ("repo0", f"docs/f{i}.bel", "c" * 40, "bel", c)
+        for i, c in enumerate(contents)
+    ]
+    return spark.createDataFrame(rows, SOURCE_SCHEMA)
+
+
+@pytest.fixture(scope="session")
+def basic_parsed(spark):
+    with open(os.path.join(REF_DATA, "import_tests/basic_import_test.bel")) as fd:
+        content = fd.read()
+    src = _source_df(spark, [content])
+    parsed = P.parse_sources(src)
+    parsed.cache()
+    return parsed
+
+
+class TestParseStage:
+    def test_statement_table(self, spark, basic_parsed):
+        st = P.statements_table(basic_parsed).collect()
+        assert len(st) == 3
+        triples = {(r.subject_bel, r.relation, r.object_bel) for r in st}
+        assert triples == {
+            ('p(HGNC:"CD33")', "increases", 'p(HGNC:"IL2",pmod(Ph))'),
+            ('r(HGNC:"CD33")', "decreases", 'g(HGNC:"TNF")'),
+            ('a(CHEBI:"ATP")', "directly_increases", 'act(p(HGNC:"UCP1"))'),
+        }
+        assert all(r.pmid == 28714976 for r in st)
+        assert all(r.evidence == "This is a test." for r in st)
+
+    def test_file_sha_invariant(self, spark, basic_parsed):
+        import hashlib
+        with open(os.path.join(REF_DATA,
+                               "import_tests/basic_import_test.bel")) as fd:
+            content = fd.read()
+        expected = hashlib.sha256(content.encode()).hexdigest()
+        assert basic_parsed.select("file_sha").first()[0] == expected
+
+    def test_documents_table(self, spark, basic_parsed):
+        doc = P.documents_table(basic_parsed).first()
+        assert doc.name == "test.bel"
+        assert doc.version == "Test Version"
+        assert doc.authors == ["Import Tester"]
+        assert doc.n_statements == 3 and doc.ok
+
+
+class TestGraphCounts:
+    """The reference import test (tests/test_manager/test_bel.py:49-62):
+    node and edge counts per class must match true_values exactly."""
+
+    def test_counts_match_reference_true_values(self, spark, basic_parsed):
+        tv = load_true_values()
+        nodes_raw = P.nodes_table(basic_parsed)
+        st = P.statements_table(basic_parsed)
+        child = P.child_edges_table(basic_parsed)
+
+        nodes = G.materialize_nodes(nodes_raw)
+        edges_stmt = G.materialize_edges(st)
+        struct = G.materialize_structural_edges(child)
+        nodes, p2g_edges = G.protein2gene(nodes, edges_stmt)
+
+        node_counts = G.count_nodes_by_class(nodes)
+        assert node_counts == tv.NODES_EXTENSION
+
+        from ebel_spark.pipeline import _align_edges
+        all_edges = (
+            _align_edges(edges_stmt)
+            .unionByName(_align_edges(p2g_edges))
+            .unionByName(_align_edges(
+                struct.select("edge_id", "relation", "relation_category",
+                              "subject_id", "object_id", "document_ids",
+                              "n_statements")))
+        )
+        edge_counts = G.count_edges_by_class(all_edges)
+        assert edge_counts == tv.EDGES_EXTENSION
+
+    def test_edge_dedup_merges_documents(self, spark):
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE HGNC AS URL "http://x/h.belns"\n'
+            'SET Citation = {"PubMed", "T", "11111"}\n'
+            'SET Evidence = "same"\n'
+            'p(HGNC:A) increases p(HGNC:B)\n'
+        )
+        src = _source_df(spark, [bel, bel.replace('"t"', '"t2"')])
+        parsed = P.parse_sources(src)
+        edges = G.materialize_edges(P.statements_table(parsed)).collect()
+        assert len(edges) == 1
+        assert len(edges[0].document_ids) == 2
+        assert edges[0].n_statements == 2
+
+    def test_pure_and_involved(self, spark):
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE HGNC AS URL "http://x/h.belns"\n'
+            'DEFINE NAMESPACE CHEBI AS URL "http://x/c.belns"\n'
+            'SET Citation = {"PubMed", "T", "1"}\n'
+            'complex(p(HGNC:F1), p(HGNC:F2), a(CHEBI:atp)) increases '
+            'p(HGNC:T9, pmod(Ph))\n'
+        )
+        src = _source_df(spark, [bel])
+        parsed = P.parse_sources(src)
+        nodes = G.materialize_nodes(P.nodes_table(parsed))
+        struct = G.materialize_structural_edges(P.child_edges_table(parsed))
+
+        rows = {r.bel: r for r in nodes.collect()}
+        assert rows['p(HGNC:"F1")'].pure
+        # reference quirk (true_values oracle): modified terms are still
+        # "pure" because modifier out-edges are never materialized
+        assert rows['p(HGNC:"T9",pmod(Ph))'].pure
+        assert rows['p(HGNC:"T9",pmod(Ph))'].has_modifiers
+        assert not rows['p(HGNC:"F1")'].has_modifiers
+
+        inv = {r.node_id: r for r in
+               G.involved_rollup(nodes, struct).collect()}
+        cplx = rows['complex(a(CHEBI:"atp"),p(HGNC:"F1"),p(HGNC:"F2"))']
+        assert inv[cplx.node_id].involved_genes == ["F1", "F2"]
+        assert inv[cplx.node_id].involved_other == ["atp"]
+        prot = rows['p(HGNC:"F1")']
+        assert inv[prot.node_id].involved_genes == ["F1"]
+
+    def test_species(self, spark):
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE HGNC AS URL "http://x/h.belns"\n'
+            'DEFINE NAMESPACE MGI AS URL "http://x/m.belns"\n'
+            'SET Citation = {"PubMed", "T", "1"}\n'
+            'g(HGNC:AKT1) orthologous g(MGI:Akt1)\n'
+            'complex(p(HGNC:F1), p(HGNC:F2)) increases p(HGNC:T9)\n'
+        )
+        src = _source_df(spark, [bel])
+        parsed = P.parse_sources(src)
+        nodes = G.materialize_nodes(P.nodes_table(parsed))
+        struct = G.materialize_structural_edges(P.child_edges_table(parsed))
+        edges = G.materialize_edges(P.statements_table(parsed))
+        sp = {r.node_id: r.species for r in
+              G.species_tagging(nodes, struct, edges).collect()}
+        byb = {r.bel: r.node_id for r in nodes.collect()}
+        assert sp[byb['g(HGNC:"AKT1")']] == 9606
+        assert sp[byb['g(MGI:"Akt1")']] == 10090
+        assert sp[byb['complex(p(HGNC:"F1"),p(HGNC:"F2"))']] == 9606
+
+
+class TestValidation:
+    @pytest.fixture(scope="class")
+    def dims(self, spark):
+        return dims_to_spark(spark, build_dimensions(n_hgnc=200, n_chebi=50,
+                                                     n_go=50))
+
+    def test_terminology_fixture_error_lines(self, spark, dims):
+        with open(os.path.join(REF_DATA, "terminology_bel_tests.bel")) as fd:
+            content = fd.read()
+        src = _source_df(spark, [content])
+        parsed = P.parse_sources(src)
+        errors = V.semantic_errors(
+            P.entries_table(parsed), P.definitions_table(parsed),
+            dims["ns_dict"], dims["anno_dict"],
+        ).collect()
+        got = {(e.error_class, e.line_number) for e in errors}
+        assert got == {
+            ("WithoutDefinedNamespace", 44),
+            ("NotInAnnotationList", 49),
+        }
+
+    def test_url_miss_hints(self, spark, dims):
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE HGNC AS URL "http://x/h.belns"\n'
+            'DEFINE NAMESPACE CHEBI AS URL "http://x/c.belns"\n'
+            'p(HGNC:ATP) -> p(HGNC:NOSUCHGENE99)\n'   # ATP exists in CHEBI
+            'p(HGNC:GENE0001X) -> p(HGNC:CD33)\n'     # prefix-similar
+        )
+        src = _source_df(spark, [bel])
+        parsed = P.parse_sources(src)
+        errors = V.semantic_errors(
+            P.entries_table(parsed), P.definitions_table(parsed),
+            dims["ns_dict"], dims["anno_dict"],
+        ).collect()
+        by_entry = {e.entry: e for e in errors}
+        assert set(by_entry) == {"ATP", "NOSUCHGENE99", "GENE0001X"}
+        assert by_entry["ATP"].hint.startswith("Did you mean: ")
+        assert 'CHEBI:"ATP"' in by_entry["ATP"].hint
+        assert by_entry["GENE0001X"].hint.startswith("Similar: ")
+        assert by_entry["NOSUCHGENE99"].hint.startswith("[OLS suggests]")
+
+    def test_pattern_and_list(self, spark, dims):
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE dbSNP AS PATTERN "rs[0-9]+"\n'
+            'DEFINE NAMESPACE FIXME AS LIST {"GW0742", "GM6001"}\n'
+            'g(dbSNP:rs123) -> g(dbSNP:xx999)\n'
+            'a(FIXME:GW0742) -> a(FIXME:other)\n'
+        )
+        src = _source_df(spark, [bel])
+        parsed = P.parse_sources(src)
+        errors = V.semantic_errors(
+            P.entries_table(parsed), P.definitions_table(parsed),
+            dims["ns_dict"], dims["anno_dict"],
+        ).collect()
+        got = {(e.error_class, e.entry) for e in errors}
+        assert got == {
+            ("NotInNamespacePattern", "xx999"),
+            ("NotInNamespaceList", "other"),
+        }
+
+    def test_ambiguity_warning(self, spark):
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE A AS URL "http://x/a.belns"\n'
+            'DEFINE NAMESPACE B AS URL "http://x/b.belns"\n'
+            'p(A:TNF) -> p(B:TNF)\n'
+        )
+        src = _source_df(spark, [bel])
+        parsed = P.parse_sources(src)
+        warns = V.ambiguity_warnings(P.entries_table(parsed)).collect()
+        assert len(warns) == 2
+        assert all(w.error_class == "AlsoUsedInOtherNamespace" for w in warns)
+
+
+class TestLinking:
+    def test_hgnc_uniprot_chebi(self, spark):
+        dims = build_dimensions(n_hgnc=200, n_chebi=50, n_go=50)
+        # give CD33 a previous symbol to exercise correction
+        dims.hgnc.loc[dims.hgnc.symbol == "TNF", "prev_symbols"] = \
+            dims.hgnc.loc[dims.hgnc.symbol == "TNF", "prev_symbols"].apply(
+                lambda _: ["TNFA"])
+        dim_dfs = dims_to_spark(spark, dims)
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE HGNC AS URL "http://x/h.belns"\n'
+            'DEFINE NAMESPACE CHEBI AS URL "http://x/c.belns"\n'
+            'SET Citation = {"PubMed", "T", "1"}\n'
+            'p(HGNC:CD33) increases p(HGNC:TNFA)\n'   # TNFA is outdated
+            'a(CHEBI:ATP) increases g(HGNC:CD33)\n'
+        )
+        src = _source_df(spark, [bel])
+        parsed = P.parse_sources(src)
+        nodes = G.materialize_nodes(P.nodes_table(parsed))
+        linked = L.link_all(nodes, dim_dfs["hgnc"], dim_dfs["uniprot"],
+                            dim_dfs["chebi"])
+        rows = {(r.node_class, r.name): r for r in linked.collect()}
+
+        cd33 = rows[("protein", "CD33")]
+        assert cd33.hgnc_symbol == "CD33"
+        assert cd33.label == "CD33 protein"
+        assert cd33.uniprot and cd33.uniprot_taxid == 9606
+
+        # prev-symbol correction rewrote name + bel, kept node_id
+        tnf = rows[("protein", "TNF")]
+        assert tnf.name_corrected == "TNFA"
+        assert tnf.bel == 'p(HGNC:"TNF")'
+        orig = {r.bel: r for r in nodes.collect()}['p(HGNC:"TNFA")']
+        assert tnf.node_id == orig.node_id
+
+        gene = rows[("gene", "CD33")]
+        assert gene.location is not None
+
+        atp = rows[("abundance", "ATP")]
+        assert atp.chebi is not None
