@@ -1,0 +1,128 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also runs the flagship BEL construction pipeline on a deterministic
+synthetic corpus and reports triples/sec (the BASELINE.json headline
+metric).
+
+Usage: python bench.py [--cpus N] [--files N] [--stmts N] [--skip-bel]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+
+HEADLINE_QUERIES = [
+    "pricing_summary",
+    "region_revenue",
+    "top_customers_per_nation",
+    "user_sessions",
+    "events_hourly",
+    "value_bucket_range_join",
+    "doc_token_counts",
+    "doc_exact_dups",
+    "doc_minhash_pairs",
+    "ann_brute_topk",
+    "multimodal_features",
+]
+
+
+def force(df):
+    """Execute the full plan without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--sf-dir",
+                    default=os.environ.get("SPARK_GRAFT_SF_DIR",
+                                           "/root/testdata/sf0.1"))
+    ap.add_argument("--files", type=int, default=2000,
+                    help="BEL corpus size for the pipeline benchmark")
+    ap.add_argument("--stmts", type=int, default=100)
+    ap.add_argument("--skip-bel", action="store_true")
+    ap.add_argument("--bel-only", action="store_true",
+                    help="run only the BEL pipeline (scaling experiments)")
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ebel_spark.queries import QUERIES
+    from ebel_spark.session import get_spark
+
+    m = re.search(r"sf([0-9.]+)", args.sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = get_spark(cores=args.cpus, app_name="ebel-spark-bench")
+
+    # warm the JVM/catalog with a trivial action so timings measure queries
+    spark.range(1).count()
+
+    per_query: dict[str, float] = {}
+    for name in ([] if args.bel_only else HEADLINE_QUERIES):
+        fn, _ = QUERIES[name]
+        t0 = time.time()
+        force(fn(spark, args.sf_dir))
+        per_query[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(per_query.values()), 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cpus": args.cpus,
+    }
+
+    if not args.skip_bel:
+        from ebel_spark.corpus import CorpusProfile, corpus_spark
+        from ebel_spark.pipeline import run_pipeline
+
+        out_dir = tempfile.mkdtemp(prefix="belbench_")
+        try:
+            profile = CorpusProfile(n_files=args.files,
+                                    statements_per_file=args.stmts,
+                                    error_rate=0.005)
+            src = corpus_spark(spark, profile)
+            t0 = time.time()
+            metrics = run_pipeline(
+                spark, src, out_dir, with_hints=False,
+                run_id="bench", parse_partitions=args.cpus * 2)
+            bel_wall = time.time() - t0
+            result["bel_pipeline"] = {
+                "files": metrics["n_files"],
+                "statements": metrics["n_statements"],
+                "triples": metrics["n_triples"],
+                "wall_s": round(bel_wall, 3),
+                "statements_per_sec": round(
+                    metrics["n_statements"] / bel_wall, 1),
+                "triples_per_sec": round(metrics["n_triples"] / bel_wall, 1),
+                "stages": metrics["stages"],
+            }
+            result["queries"]["bel_pipeline"] = round(bel_wall, 3)
+            result["value"] = round(result["value"] + bel_wall, 3)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+
+    line = json.dumps(result)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as fd:
+            fd.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

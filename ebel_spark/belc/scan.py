@@ -45,16 +45,26 @@ class Scanner:
         return self.text[self.pos] if self.pos < self.n else ""
 
     def _advance(self, k: int = 1) -> None:
-        t, p = self.text, self.pos
-        end = min(p + k, self.n)
-        while p < end:
+        t = self.text
+        p = self.pos
+        end = p + k
+        if end > self.n:
+            end = self.n
+        if k == 1:
             if t[p] == "\n":
                 self.line += 1
                 self.col = 1
             else:
                 self.col += 1
-            p += 1
-        self.pos = p
+            self.pos = end
+            return
+        nl = t.count("\n", p, end)
+        if nl:
+            self.line += nl
+            self.col = end - t.rindex("\n", p, end)
+        else:
+            self.col += end - p
+        self.pos = end
 
     # -- whitespace / newlines ----------------------------------------------
 

@@ -115,33 +115,34 @@ def materialize_edges(statements_tbl: DataFrame, n_salts: int = 16) -> DataFrame
     st = statements_tbl.filter(
         F.col("edge_key").isNotNull() & ~F.col("nested")
     )
-    salted = st.withColumn(
+    # NARROW salted two-phase aggregation for the document sets only: the
+    # wide payload columns must not ride through two sort-aggregates
+    # (the 7-tuple profile means payloads are identical per key anyway,
+    # modulo optional citation extras where first-writer-wins like the
+    # reference cache, importer.py:345-351)
+    docs = st.select("edge_key", "file_sha")
+    salted = docs.withColumn(
         "salt", F.pmod(F.xxhash64("file_sha"), F.lit(n_salts))
     )
-    firsts = [
-        F.first(c).alias(c)
-        for c in (
-            "relation", "relation_category", "subject_id", "subject_bel",
-            "subject_class", "object_id", "object_bel", "object_class",
-            "citation_type", "citation_ref", "citation_title",
-            "citation_pub_date", "citation_author_list", "citation_comment",
-            "evidence", "annotation", "pmid",
-        )
-    ]
     phase1 = salted.groupBy("edge_key", "salt").agg(
         F.collect_set("file_sha").alias("doc_part"),
         F.count(F.lit(1)).alias("cnt"),
-        *firsts,
     )
     phase2 = phase1.groupBy("edge_key").agg(
         F.array_sort(
             F.array_distinct(F.flatten(F.collect_list("doc_part")))
         ).alias("document_ids"),
         F.sum("cnt").alias("n_statements"),
-        *firsts,
     )
+    payload = st.select(
+        "edge_key", "relation", "relation_category", "subject_id",
+        "subject_bel", "subject_class", "object_id", "object_bel",
+        "object_class", "citation_type", "citation_ref", "citation_title",
+        "citation_pub_date", "citation_author_list", "citation_comment",
+        "evidence", "annotation", "pmid",
+    ).dropDuplicates(["edge_key"])
     return (
-        phase2
+        payload.join(phase2, "edge_key")
         .withColumn("evidence", F.regexp_replace("evidence", "\n", " "))
         .withColumn(
             "citation",

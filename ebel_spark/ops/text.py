@@ -1,0 +1,138 @@
+"""Text analysis operators for training-data pipelines.
+
+Everything here is pure `pyspark.sql.functions` column algebra (whole-stage
+codegen, no Python in the hot path): tokenization, token counting, quality
+scoring, n-gram language ID, rolling-hash document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: token definition shared with the DuckDB oracles:
+#: lowercase, split on runs of non-alphanumerics, drop empties
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf",
+           "für"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "en", "por", "para"),
+}
+
+
+def tokens(col) -> Column:
+    """Lower-cased alphanumeric tokens (empty strings removed)."""
+    return F.filter(
+        F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_ratio(col) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    stripped = F.regexp_replace(col, "[a-zA-Z0-9 ]", "")
+    return F.when(F.length(col) > 0,
+                  F.length(stripped) / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+        / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col) -> Column:
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(toks, F.lit(0).cast("double"),
+                    lambda acc, t: acc + F.length(t)) / F.size(toks),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Deterministic [0,1] quality heuristic: long enough, mostly words,
+    reasonable punctuation, reasonable stopword density."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4)
+    stop = stopword_ratio(col)
+    stop_score = F.least(stop * 5, F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.3 * punct_pen + 0.3 * stop_score, 4
+    )
+
+
+def lang_scores(col) -> Column:
+    """Array of (score, lang) structs, one per candidate language."""
+    toks = tokens(col)
+    entries = []
+    for lang, stops in sorted(LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(s) for s in stops])
+        score = F.when(
+            F.size(toks) > 0,
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+            / F.size(toks),
+        ).otherwise(F.lit(0.0))
+        entries.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    return F.array(*entries)
+
+
+def lang_id(col, min_score: float = 0.02) -> Column:
+    """Best-scoring language, or 'unknown' below min_score.  Ties break by
+    language code descending (array_max on (score, lang) structs)."""
+    best = F.array_max(lang_scores(col))
+    return F.when(best["score"] >= min_score, best["lang"]).otherwise(
+        F.lit("unknown")
+    )
+
+
+def shingles(col, n: int = 5) -> Column:
+    """Distinct word n-gram shingles (arrays of joined tokens)."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(
+        F.when(F.size(toks) > 0, F.array(F.array_join(toks, " ")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def fingerprint(col, n: int = 5) -> Column:
+    """Rolling-hash document fingerprint: min xxhash64 over word n-gram
+    shingles (a 1-permutation MinHash — robust to local edits)."""
+    sh = shingles(col, n)
+    return F.when(
+        F.size(sh) > 0,
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s))),
+    ).otherwise(F.lit(None).cast("long"))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One call adding all text-analysis columns."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_tokens", token_count(c))
+        .withColumn("punct_ratio", F.round(punct_ratio(c), 4))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(c), 4))
+        .withColumn("mean_token_len", F.round(mean_token_len(c), 4))
+        .withColumn("quality", quality_score(c))
+        .withColumn("lang_pred", lang_id(c))
+        .withColumn("fingerprint", fingerprint(c))
+    )

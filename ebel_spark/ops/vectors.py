@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline — broadcast the (small) query
+  set against the corpus, dot products in column algebra (zip_with +
+  aggregate, whole-stage codegen), top-k per query via window rank.
+- random-hyperplane LSH: the scale path — bucket join on sign-bit keys,
+  exact re-rank inside buckets only.  Hyperplanes are seeded and shipped
+  as literal arrays (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b):
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of corpus rows per query row (self-matches
+    excluded).  Ties break by corpus id ascending for determinism."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"),
+                                             F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(nbits)]
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket key from random hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec_col, lit_plane) > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+    nbits: int = 12, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket, exact cosine
+    re-rank inside the bucket.  Recall grows with fewer bits / multi-probe;
+    nbits trades bucket size against recall."""
+    planes = hyperplanes(dim, nbits, seed)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"),
+                                             F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
+def embedding_cosine_dup_pairs(
+    df: DataFrame, threshold: float = 0.95, dim: int = 64,
+    nbits: int = 8, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold) via LSH bucket
+    self-join + exact verification."""
+    planes = hyperplanes(dim, nbits, seed)
+    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    left = b.select("bucket", F.col("id").alias("a"), F.col("v").alias("va"))
+    right = b.select("bucket", F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

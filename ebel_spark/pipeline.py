@@ -144,11 +144,19 @@ def run_pipeline(
         lineage.write.mode("overwrite").parquet(lineage_path)
 
     # ---- 2. derived tables -------------------------------------------------
+    def _ckpt(df: DataFrame, name: str) -> DataFrame:
+        p = os.path.join(out_dir, "_stage", name)
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
     statements = P.statements_table(parsed)
     nodes_raw = P.nodes_table(parsed)
     child_edges_raw = P.child_edges_table(parsed)
-    entries = P.entries_table(parsed)
-    defs = P.definitions_table(parsed)
+    # the entry/definition tables are tiny next to the wide parsed table;
+    # checkpointing them means the 4 validation families read a narrow
+    # parquet instead of re-exploding the nested parse output 4x
+    entries = _ckpt(P.entries_table(parsed), "entries")
+    defs = _ckpt(P.definitions_table(parsed), "defs")
 
     # ---- 3. validation -------------------------------------------------------
     with stage("validate"):
@@ -177,11 +185,6 @@ def run_pipeline(
     # Each super-stage is checkpointed to parquet so downstream stages never
     # re-execute the parse/aggregate DAG — at 100 TB the alternative is a
     # multi-x recompute of the most expensive stages.
-    def _ckpt(df: DataFrame, name: str) -> DataFrame:
-        p = os.path.join(out_dir, "_stage", name)
-        df.write.mode("overwrite").parquet(p)
-        return spark.read.parquet(p)
-
     with stage("materialize"):
         st_valid = statements.join(valid_files, "file_sha", "left_semi")
         nodes = _ckpt(

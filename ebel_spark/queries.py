@@ -1,0 +1,679 @@
+"""Driver-contract query library.
+
+Each entry: name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+The oracle SQL runs in DuckDB over the same parquet tables (views: region
+nation customer supplier part orders lineitem events documents embeddings).
+Column names are aliased identically on both sides; floats are rounded on
+both sides so the order-insensitive value hash matches.
+
+Coverage maps to SURVEY.md §2: scans/filters/projections (§2.3), joins incl.
+broadcast/semi/anti/range (§2.4), aggregations (§2.5), windows/top-k/
+pagination (§2.6), set ops (§2.7), scalar functions (§2.8), plus the
+training-data operators (dedup / similarity / text analysis) and the BEL
+pipeline itself (rows-only checks where DuckDB cannot express the op).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from .ops import dedup as D
+from .ops import text as T
+from .ops import vectors as X
+from .ops.multimodal import extract_features, frame_sample_plan, synth_assets
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+QUERIES: dict[str, tuple] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregations — TPC-H Q1 style pricing summary
+# ---------------------------------------------------------------------------
+
+@q("pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(avg(l_quantity), 4)                          AS avg_qty,
+       round(avg(l_extendedprice), 4)                     AS avg_price,
+       count(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00")
+                  .cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins (broadcast dims) + §2.5 agg — multiway star join
+# ---------------------------------------------------------------------------
+
+@q("region_revenue", """
+SELECT r.r_name AS region,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""")
+def region_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 windows — top-k per key
+# ---------------------------------------------------------------------------
+
+@q("top_customers_per_nation", """
+WITH spend AS (
+  SELECT c.c_nationkey, c.c_custkey, c.c_name,
+         round(sum(o.o_totalprice), 2) AS total_spend
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey, c.c_custkey, c.c_name
+)
+SELECT c_nationkey, c_custkey, c_name, total_spend, rnk FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY c_nationkey
+      ORDER BY total_spend DESC, c_custkey ASC) AS rnk
+  FROM spend
+) WHERE rnk <= 3
+""")
+def top_customers_per_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("total_spend"), F.asc("c_custkey"))
+    return (
+        spend.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_name", "total_spend", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 pagination (SKIP/LIMIT, odb_meta.py:372-378)
+# ---------------------------------------------------------------------------
+
+@q("orders_page_6", """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20 OFFSET 100
+""")
+def orders_page_6(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .offset(100).limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 REST filter algebra (web/api/ebel/v1/__init__.py:213-253)
+# ---------------------------------------------------------------------------
+
+@q("part_filter_algebra", """
+SELECT p_partkey, p_name, p_brand, p_size
+FROM part
+WHERE (p_name LIKE 'red%' OR p_name LIKE '%g%')
+  AND p_size BETWEEN 5 AND 30
+  AND p_brand <> 'Brand#1'
+""")
+def part_filter_algebra(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        (F.col("p_name").startswith("red") | F.col("p_name").contains("g"))
+        & F.col("p_size").between(5, 30)
+        & (F.col("p_brand") != "Brand#1")
+    ).select("p_partkey", "p_name", "p_brand", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 existence semi/anti joins (odb_meta.py:326-339, entry_exists)
+# ---------------------------------------------------------------------------
+
+@q("suppliers_with_sales", """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+""")
+def suppliers_with_sales(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi") \
+        .select("s_suppkey", "s_name")
+
+
+@q("customers_without_big_orders", """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 60000)
+""")
+def customers_without_big_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 60000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+        .select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+@q("nations_customers_and_suppliers", """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""")
+def nations_customers_and_suppliers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@q("ship_dates_without_orders", """
+SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem
+EXCEPT
+SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+""")
+def ship_dates_without_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("d")).distinct()
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")).distinct()
+    return li.exceptAll(o)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 EMBEDDEDSET-style collect (document-set merge, importer.py:353-356)
+# ---------------------------------------------------------------------------
+
+@q("nation_segments", """
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+           AS segments,
+       count(*) AS n_customers
+FROM customer GROUP BY c_nationkey
+""")
+def nation_segments(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",")
+        .alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 analytic windows — running aggregates and sessionization over events
+# ---------------------------------------------------------------------------
+
+@q("user_running_value", """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS running_value
+FROM events WHERE user_id < 20
+""")
+def user_running_value(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@q("user_sessions", """
+WITH gaps AS (
+  SELECT user_id,
+         CASE WHEN floor(epoch(ts))::BIGINT
+                   - lag(floor(epoch(ts))::BIGINT) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM gaps GROUP BY user_id
+""")
+def user_sessions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 range join (SNP position -> gene, odb_meta.py:1309-1363)
+# ---------------------------------------------------------------------------
+
+@q("value_bucket_range_join", """
+SELECT b.lo, b.hi, count(e.event_id) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM (SELECT i * 10 AS lo, (i + 1) * 10 AS hi
+      FROM generate_series(0, 9) AS t(i)) b
+JOIN events e ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.lo, b.hi
+""")
+def value_bucket_range_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    b = spark.range(0, 10).select(
+        (F.col("id") * 10).alias("lo"),
+        ((F.col("id") + 1) * 10).alias("hi"),
+    )
+    return (
+        e.join(F.broadcast(b),
+               (e.value >= F.col("lo")) & (e.value < F.col("hi")))
+        .groupBy("lo", "hi")
+        .agg(F.count("event_id").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions: regex/json/hash/math
+# ---------------------------------------------------------------------------
+
+@q("event_scalars", """
+SELECT event_id,
+       json_extract_string(props, '$.k')       AS k_val,
+       md5(event_type)                         AS type_md5,
+       sha256(event_type)                      AS type_sha,
+       ceil(value)                             AS value_ceil,
+       upper(substr(event_type, 1, 1)) || substr(event_type, 2)
+                                               AS type_camel,
+       regexp_extract(props, '"k": ([0-9]+)', 1) AS k_regex
+FROM events WHERE event_id < 200
+""")
+def event_scalars(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_val"),
+        F.md5("event_type").alias("type_md5"),
+        F.sha2("event_type", 256).alias("type_sha"),
+        F.ceil("value").alias("value_ceil"),
+        F.concat(F.upper(F.substring("event_type", 1, 1)),
+                 F.expr("substring(event_type, 2)")).alias("type_camel"),
+        F.regexp_extract("props", '"k": ([0-9]+)', 1).alias("k_regex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 multiple-definition detection analog (Counter > 1)
+# ---------------------------------------------------------------------------
+
+@q("repeat_order_days", """
+SELECT o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey, CAST(o_orderdate AS DATE)
+HAVING count(*) > 1
+""")
+def repeat_order_days(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey",
+                  F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-style tumbling window aggregation (batch equivalent)
+# ---------------------------------------------------------------------------
+
+@q("events_hourly", """
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS VARCHAR) AS hour_start,
+       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""")
+def events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("hour_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+@q("doc_token_counts", """
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) AS n_tokens,
+       length(text) AS n_chars
+FROM documents
+""")
+def doc_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@q("doc_punct_ratio", """
+SELECT doc_id,
+       round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+             * 1.0 / length(text), 4) AS punct_ratio
+FROM documents WHERE length(text) > 0
+""")
+def doc_punct_ratio(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select(
+        "doc_id", F.round(T.punct_ratio(F.col("text")), 4).alias("punct_ratio")
+    )
+
+
+@q("doc_stopword_ratio", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN len(ts) > 0 THEN
+         len(list_filter(ts, t -> list_contains(
+           ['the','and','of','to','in','is','that','it','for','was'], t)))
+         * 1.0 / len(ts) ELSE 0 END, 4) AS stopword_ratio
+FROM toks
+""")
+def doc_stopword_ratio(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(T.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
+    )
+
+
+# rows-only: heuristic language id + rolling-hash fingerprint (xxhash64 has
+# no DuckDB twin)
+@q("doc_text_profile")
+def doc_text_profile(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.text_profile(d, "text").select(
+        "doc_id", "n_tokens", "quality", "lang_pred", "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# deduplication (documents)
+# ---------------------------------------------------------------------------
+
+@q("doc_exact_dups", """
+WITH h AS (SELECT doc_id, sha256(text) AS text_sha FROM documents)
+SELECT h.doc_id AS id, h.text_sha,
+       min(h2.doc_id) AS canonical_id,
+       h.doc_id <> min(h2.doc_id) AS is_dup
+FROM h JOIN h h2 ON h.text_sha = h2.text_sha
+GROUP BY h.doc_id, h.text_sha
+""")
+def doc_exact_dups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "doc_id", "text")
+
+
+@q("doc_ngram_jaccard_pairs", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct(list_transform(range(len(ts) - 2),
+             i -> array_to_string(ts[i+1:i+3], ' ')))
+         WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+         ELSE [] END AS sh
+  FROM toks
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+""")
+def doc_ngram_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3,
+                                 threshold=0.5, max_df=1000)
+
+
+@q("doc_minhash_pairs")  # rows-only: xxhash64 signatures have no DuckDB twin
+def doc_minhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "doc_id", "text", k=32, bands=16,
+                               shingle_n=3, threshold=0.5)
+
+
+@q("doc_simhash_pairs")  # rows-only
+def doc_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+@q("ann_brute_topk", """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_cosine_similarity(q.embedding, c.embedding), 4)
+           AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, corpus_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, corpus_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""")
+def ann_brute_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") < 8)
+    res = X.brute_force_topk(e, qdf, k=3)
+    # round BEFORE ranking on both sides so near-tie ordering agrees
+    scored = (
+        e.select(F.col("vec_id").alias("corpus_id"),
+                 F.col("embedding").alias("c_vec"))
+        .join(F.broadcast(qdf.select(F.col("vec_id").alias("query_id"),
+                                     F.col("embedding").alias("q_vec"))),
+              F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine",
+                    F.round(X.cosine(F.col("q_vec"), F.col("c_vec")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("corpus_id"))
+    _ = res  # exact variant kept for API users; oracle uses rounded ranking
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )
+
+
+@q("embedding_dup_pairs_exact", """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+""")
+def embedding_dup_pairs_exact(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .withColumn("cos_raw", X.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_raw") >= 0.45)
+        .select("a", "b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+@q("ann_lsh_topk")  # rows-only: approximate path, no SQL twin
+def ann_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") < 8)
+    return X.lsh_topk(e, qdf, dim=64, k=3, nbits=8)
+
+
+@q("embedding_dup_pairs_lsh")  # rows-only scale path
+def embedding_dup_pairs_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return X.embedding_cosine_dup_pairs(e, threshold=0.45, dim=64, nbits=6)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (rows-only: Pandas-UDF features)
+# ---------------------------------------------------------------------------
+
+@q("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    assets = synth_assets(d)
+    return extract_features(assets, bins=16)
+
+
+@q("video_frame_plan")
+def video_frame_plan(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return frame_sample_plan(synth_assets(d))
+
+
+# ---------------------------------------------------------------------------
+# the BEL pipeline itself (rows-only: no SQL twin for the parse UDF)
+# ---------------------------------------------------------------------------
+
+def _bel_corpus(spark, n_files: int = 24):
+    from .corpus import CorpusProfile, corpus_spark
+    profile = CorpusProfile(n_files=n_files, statements_per_file=30)
+    return corpus_spark(spark, profile, partitions=4)
+
+
+@q("bel_triples")
+def bel_triples(spark, sf_dir):
+    from . import parse as P
+    parsed = P.parse_sources(_bel_corpus(spark))
+    st = P.statements_table(parsed)
+    return st.filter(F.col("relation").isNotNull() & ~F.col("nested")).select(
+        "file_sha", "stmt_idx", "subject_bel", "relation", "object_bel",
+        "citation_type", "citation_ref", "evidence", "pmid",
+    )
+
+
+@q("bel_nodes")
+def bel_nodes(spark, sf_dir):
+    from . import graph as G
+    from . import parse as P
+    parsed = P.parse_sources(_bel_corpus(spark))
+    nodes = G.materialize_nodes(
+        P.nodes_table(parsed.filter("ok")))
+    return nodes.select("node_id", "node_class", "bel", "namespace", "name",
+                        "pure", "n_occurrences")
+
+
+@q("bel_validation_errors")
+def bel_validation_errors(spark, sf_dir):
+    from . import parse as P
+    from . import validate as V
+    from .namespaces import build_dimensions, dims_to_spark
+    parsed = P.parse_sources(_bel_corpus(spark))
+    dims = dims_to_spark(spark, build_dimensions())
+    ok = parsed.filter("ok").select("file_sha")
+    sem = V.semantic_errors(
+        P.entries_table(parsed).join(ok, "file_sha", "left_semi"),
+        P.definitions_table(parsed).join(ok, "file_sha", "left_semi"),
+        dims["ns_dict"], dims["anno_dict"], with_hints=False)
+    return P.syntax_errors_table(parsed).unionByName(sem)
+
+
+def queries() -> dict:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> dict:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql}

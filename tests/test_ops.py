@@ -1,0 +1,197 @@
+"""Tests for the training-data operators (dedup / vectors / text /
+multimodal) and a fast inline oracle check of representative contract
+queries at sf0.001."""
+
+import math
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ebel_spark.ops import dedup as D
+from ebel_spark.ops import text as T
+from ebel_spark.ops import vectors as X
+from ebel_spark.ops.multimodal import (extract_features, frame_sample_plan,
+                                       resize_spec, synth_assets)
+
+SF = "/root/testdata/sf0.001"
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog and runs far away"),
+    (1, "the quick brown fox jumps over the lazy dog and runs far home"),
+    (2, "completely different text about spark shuffle partitions here ok"),
+    (3, "the quick brown fox jumps over the lazy dog and runs far away"),
+    (4, "der hund läuft nicht auf der straße und das ist ein problem"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+class TestText:
+    def test_token_count(self, docs):
+        rows = {r.doc_id: r.n for r in docs.select(
+            "doc_id", T.token_count(F.col("text")).alias("n")).collect()}
+        assert rows[0] == 13
+        assert rows[5] == 0
+
+    def test_lang_id(self, docs):
+        rows = {r.doc_id: r.lang for r in docs.select(
+            "doc_id", T.lang_id(F.col("text")).alias("lang")).collect()}
+        assert rows[0] == "en"
+        assert rows[4] == "de"
+        assert rows[5] == "unknown"
+
+    def test_fingerprint_stability(self, docs):
+        rows = {r.doc_id: r.fp for r in docs.select(
+            "doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()}
+        assert rows[0] == rows[3]          # identical docs
+        assert rows[0] != rows[2]
+        assert rows[5] is None
+
+    def test_quality_monotonic(self, docs):
+        rows = {r.doc_id: r.q for r in docs.select(
+            "doc_id", T.quality_score(F.col("text")).alias("q")).collect()}
+        assert rows[0] > rows[5]
+        assert 0 <= rows[2] <= 1
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        res = {r.id: r for r in D.exact_dedup(docs, "doc_id", "text").collect()}
+        assert res[3].canonical_id == 0 and res[3].is_dup
+        assert not res[0].is_dup
+        assert not res[1].is_dup  # one word differs
+
+    def test_minhash_lsh_finds_near_dup(self, docs):
+        pairs = {(r.a, r.b): r.jaccard for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=32, bands=16, shingle_n=3,
+            threshold=0.3).collect()}
+        assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+        assert (0, 1) in pairs and 0.3 < pairs[(0, 1)] < 1.0
+        assert (0, 2) not in pairs
+
+    def test_minhash_matches_exact_jaccard(self, docs):
+        mh = {(r.a, r.b): r.jaccard for r in D.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=32, bands=16, shingle_n=3,
+            threshold=0.3).collect()}
+        ex = {(r.a, r.b): r.jaccard for r in D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=3, threshold=0.3,
+            max_df=100).collect()}
+        for pair, j in mh.items():   # LSH verified values == exact values
+            assert ex[pair] == j
+
+    def test_simhash(self, spark):
+        # long documents: a 1-word change flips few simhash bits
+        base = " ".join(f"token{i} word{i % 7} filler" for i in range(80))
+        near = base.replace("token40", "changed")
+        df = spark.createDataFrame(
+            [(0, base), (1, near), (2, base), (3, "unrelated short text")],
+            ["doc_id", "text"])
+        pairs = {(r.a, r.b): r.hamming for r in D.simhash_pairs(
+            df, "doc_id", "text", max_hamming=3).collect()}
+        assert pairs[(0, 2)] == 0         # identical -> hamming 0
+        assert (0, 1) in pairs            # near-dup within 3 bits
+        assert (0, 3) not in pairs        # unrelated
+
+
+class TestVectors:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rng = np.random.RandomState(7)
+        base = rng.randn(10, 16).astype("float32")
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i, [float(x) for x in v], 0))
+        # 10..14 are tiny perturbations of 0..4 -> near dups
+        for i in range(5):
+            v = base[i] + rng.randn(16).astype("float32") * 0.01
+            rows.append((10 + i, [float(x) for x in v], 1))
+        return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    def test_brute_topk_matches_numpy(self, vecs):
+        rows = vecs.collect()
+        mat = {r.vec_id: np.array(r.embedding) for r in rows}
+        got = X.brute_force_topk(vecs, vecs.filter("vec_id = 0"), k=1).collect()
+        assert len(got) == 1
+        best = got[0]
+        # numpy oracle
+        q = mat[0]
+        sims = {i: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+                for i, v in mat.items() if i != 0}
+        expect = max(sims, key=lambda i: (sims[i], -i))
+        assert best.corpus_id == expect == 10
+        assert abs(best.cosine - sims[expect]) < 1e-4
+
+    def test_lsh_finds_near_dup(self, vecs):
+        got = X.lsh_topk(vecs, vecs.filter("vec_id < 5"), dim=16, k=1,
+                         nbits=4).collect()
+        hits = {r.query_id: r.corpus_id for r in got}
+        # perturbed twins land in the same bucket for most queries
+        assert sum(1 for qid, cid in hits.items() if cid == qid + 10) >= 3
+
+    def test_dup_pairs(self, vecs):
+        pairs = {(r.a, r.b) for r in X.embedding_cosine_dup_pairs(
+            vecs, threshold=0.99, dim=16, nbits=4).collect()}
+        assert all(b == a + 10 for a, b in pairs)
+        assert len(pairs) >= 3
+
+
+class TestMultimodal:
+    def test_feature_extraction(self, spark, docs):
+        assets = synth_assets(docs, "doc_id", "text")
+        feats = {r.asset_id: r for r in extract_features(assets).collect()}
+        assert len(feats) == 6
+        f0 = feats[0]
+        assert len(f0.features) == 16
+        assert abs(sum(f0.features) - 1.0) < 1e-5
+        assert feats[5].n_bytes == 0
+        assert sum(feats[5].features) == 0.0
+
+    def test_real_decode_is_stubbed(self, spark, docs):
+        assets = synth_assets(docs, "doc_id", "text")
+        with pytest.raises(Exception):  # NotImplementedError inside worker
+            extract_features(assets, real=True).collect()
+
+    def test_frame_plan_and_resize(self, spark, docs):
+        assets = synth_assets(docs, "doc_id", "text")
+        plans = frame_sample_plan(assets, fps=1.0, max_frames=4).collect()
+        assert plans and all(
+            list(p.frame_offsets_ms) ==
+            sorted(set(p.frame_offsets_ms)) for p in plans)
+        rs = resize_spec(assets, target=224).collect()
+        assert rs and all(min(r.new_width, r.new_height) == 224 for r in rs)
+
+
+class TestContractInline:
+    """Spot-check three representative oracle pairs at sf0.001."""
+
+    NAMES = ["pricing_summary", "doc_token_counts", "ann_brute_topk"]
+
+    @staticmethod
+    def _norm(cols, rows):
+        idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+        def cell(v):
+            if isinstance(v, float):
+                return f"{v:.6g}"
+            return "" if v is None else str(v)
+
+        return sorted(tuple(cell(r[i]) for i in idx) for r in rows)
+
+    def test_oracle_agreement(self, spark):
+        from ebel_spark.queries import QUERIES
+        con = duckdb.connect()
+        for t in ["lineitem", "documents", "embeddings"]:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        for name in self.NAMES:
+            fn, sql = QUERIES[name]
+            sdf = fn(spark, SF)
+            srows = self._norm(sdf.columns, [tuple(r) for r in sdf.collect()])
+            res = con.sql(sql)
+            orows = self._norm(list(res.columns), res.fetchall())
+            assert srows == orows, name
