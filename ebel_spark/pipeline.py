@@ -115,7 +115,10 @@ def run_pipeline(
 
     # ---- 1. parse (the checkpoint) ---------------------------------------
     with stage("parse"):
-        src = P.with_file_sha(src)
+        # dedupe the source ONCE by content hash; combined with the lineage
+        # anti-join this guarantees unique file_sha in the parsed store, so
+        # no downstream consumer ever needs a (wide) dropDuplicates
+        src = P.with_file_sha(src).dropDuplicates(["file_sha"])
         if resume and _exists(spark, lineage_path):
             done = spark.read.parquet(lineage_path).select("file_sha")
             todo = src.join(done, "file_sha", "left_anti")
@@ -126,14 +129,12 @@ def run_pipeline(
             repartition=parse_partitions,
         )
         parsed_new.write.mode("append").parquet(parsed_path)
-        parsed = spark.read.parquet(parsed_path).dropDuplicates(["file_sha"])
+        parsed = spark.read.parquet(parsed_path)
 
-        lineage_new = parsed_new_lineage = None  # resolved below
-
-    # lineage for the files parsed in THIS run
+    # lineage for all files in the parsed store (scalar columns only —
+    # parquet column pruning keeps this scan narrow)
     with stage("lineage"):
-        new_shas = spark.read.parquet(parsed_path).dropDuplicates(["file_sha"])
-        lineage = new_shas.select(
+        lineage = parsed.select(
             "file_sha", "repo", "path",
             F.when(F.col("ok"), F.lit("parsed_ok"))
             .otherwise(F.lit("syntax_error")).alias("status"),
@@ -248,13 +249,28 @@ def run_pipeline(
             .parquet(os.path.join(out_dir, "documents"))
 
     nodes_out = spark.read.parquet(os.path.join(out_dir, "nodes"))
-    metrics["n_files"] = parsed.count()
-    metrics["n_valid_files"] = valid_files.count()
-    metrics["n_statements"] = statements.count()
-    metrics["n_triples"] = edges_out.filter(
-        F.col("relation_category") != "ebel").count()
+    # one narrow aggregation over the parsed store for the file/statement
+    # counters (scalar columns only)
+    agg = parsed.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(F.col("ok"),
+                     F.col("n_statements")).otherwise(0)).alias("n_stmt_ok"),
+        F.sum("n_statements").alias("n_statements"),
+        F.sum(F.col("ok").cast("int")).alias("n_ok"),
+    ).first()
+    metrics["n_files"] = agg["n_files"]
+    metrics["n_valid_files"] = (
+        agg["n_ok"] if mode != "strict" else valid_files.count())
+    metrics["n_statements"] = int(agg["n_statements"] or 0)
+    edge_counts = {
+        r["k"]: r["n"]
+        for r in edges_out.groupBy(
+            (F.col("relation_category") != "ebel").alias("k")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    metrics["n_triples"] = int(edge_counts.get(True, 0))
     metrics["n_nodes"] = nodes_out.count()
-    metrics["n_edges"] = edges_out.count()
+    metrics["n_edges"] = int(sum(edge_counts.values()))
     metrics["wall_s"] = round(time.time() - t_total, 3)
 
     with open(os.path.join(out_dir, f"metrics_{run_id}.json"), "w") as fd:

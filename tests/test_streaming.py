@@ -1,0 +1,72 @@
+"""Structured Streaming tests: incremental parse ingest and watermarked
+windowed aggregation (availableNow trigger)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from ebel_spark.corpus import CorpusProfile, corpus_pandas
+from ebel_spark.schemas import SOURCE_SCHEMA
+from ebel_spark.streaming import stream_event_counts, stream_sources
+
+
+class TestStreaming:
+    def test_incremental_parse(self, spark, tmp_path):
+        src_dir = str(tmp_path / "src")
+        out_dir = str(tmp_path / "parsed")
+        ckpt = str(tmp_path / "ckpt")
+
+        pdf = corpus_pandas(CorpusProfile(n_files=8, statements_per_file=20))
+        spark.createDataFrame(pdf, SOURCE_SCHEMA) \
+            .withColumn("file_sha", F.sha2("content", 256)) \
+            .select(*[f.name for f in SOURCE_SCHEMA.fields]) \
+            .write.mode("overwrite").parquet(src_dir)
+
+        q = stream_sources(spark, src_dir, out_dir, ckpt)
+        q.awaitTermination(120)
+        first = spark.read.parquet(out_dir)
+        assert first.count() == 8
+
+        # more files arrive -> only the new ones are processed
+        pdf2 = corpus_pandas(CorpusProfile(n_files=12, statements_per_file=20))
+        spark.createDataFrame(pdf2.iloc[8:], SOURCE_SCHEMA) \
+            .write.mode("append").parquet(src_dir)
+        q2 = stream_sources(spark, src_dir, out_dir, ckpt)
+        q2.awaitTermination(120)
+        out = spark.read.parquet(out_dir)
+        assert out.count() == 12
+        assert out.select("file_sha").distinct().count() == 12
+        assert out.filter("ok").selectExpr("sum(n_statements)").first()[0] > 0
+
+    def test_windowed_counts_match_batch(self, spark, tmp_path):
+        import shutil
+        events_path = "/root/testdata/sf0.001/events.parquet"
+        stream_dir = str(tmp_path / "events_src")
+        os.makedirs(stream_dir, exist_ok=True)
+        shutil.copy(events_path, os.path.join(stream_dir, "events.parquet"))
+        batch = spark.read.parquet(events_path)
+        stream = spark.readStream.schema(batch.schema).parquet(stream_dir)
+
+        agg = stream_event_counts(stream, window="1 hour",
+                                  watermark="2 hours")
+        out_dir = str(tmp_path / "agg")
+        q = (
+            agg.writeStream.format("memory").queryName("evt_counts")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {(r.window_start, r.event_type): (r.n, r.sum_value)
+               for r in spark.sql("select * from evt_counts").collect()}
+
+        batch = batch.withColumn("ts", F.col("ts").cast("timestamp"))
+        expect = {
+            (r.ws, r.event_type): (r.n, r.sum_value)
+            for r in batch.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            ).agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("ws"), "event_type", "n",
+                    "sum_value").collect()
+        }
+        assert got == expect
+        _ = out_dir
