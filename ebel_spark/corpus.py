@@ -49,8 +49,8 @@ class CorpusProfile:
         self,
         n_files: int = 100,
         statements_per_file: int = 50,
-        error_rate: float = 0.02,
-        miss_rate: float = 0.03,
+        error_rate: float = 0.03,     # fraction of FILES with syntax errors
+        miss_rate: float = 0.03,      # per-statement dictionary-miss rate
         hot_fraction: float = 0.5,
         n_hot_genes: int = 12,
         seed: int = 42,
@@ -148,6 +148,13 @@ def _term(rng: random.Random, v: _Vocab, p: CorpusProfile, depth: int = 0) -> st
 
 def make_bel_file(file_id: int, v: _Vocab, p: CorpusProfile) -> str:
     rng = random.Random((p.seed << 32) ^ file_id)
+    # syntax errors are injected per FILE (the file is the reference's unit
+    # of acceptance): `error_rate` of files carry 1-2 bad statements
+    file_has_errors = rng.random() < p.error_rate
+    error_slots = set()
+    if file_has_errors:
+        total = p.statements_per_file
+        error_slots = {rng.randrange(total) for _ in range(rng.randint(1, 2))}
     lines = [
         'SET DOCUMENT Name = "synthetic-%06d.bel"' % file_id,
         'SET DOCUMENT Version = "1.0.%d"' % (file_id % 100),
@@ -166,6 +173,7 @@ def make_bel_file(file_id: int, v: _Vocab, p: CorpusProfile) -> str:
 
     n_blocks = max(1, p.statements_per_file // 10)
     stmts_left = p.statements_per_file
+    stmt_no = 0
     for b in range(n_blocks):
         pmid = 10_000_000 + (file_id * 97 + b * 13) % 5_000_000
         lines.append('SET Citation = {"PubMed", "Synthetic journal %d", "%d"}'
@@ -179,13 +187,14 @@ def make_bel_file(file_id: int, v: _Vocab, p: CorpusProfile) -> str:
         n = min(stmts_left, 10)
         stmts_left -= n
         for _ in range(n):
+            stmt_no += 1
             roll = rng.random()
-            if roll < p.error_rate:
+            if (stmt_no - 1) in error_slots:
                 lines.append("# Return False")
                 lines.append("p(HGNC:%s -> r(HGNC:%s)"  # missing paren
                              % (_gene(rng, v, p), _gene(rng, v, p)))
                 continue
-            if roll < p.error_rate + p.miss_rate:
+            if roll < p.miss_rate:
                 kw = rng.choice(["HGNC", "CHEBI", "GOBP"])
                 bad = rng.choice(v.missing[kw])
                 fn = {"HGNC": "p", "CHEBI": "a", "GOBP": "bp"}[kw]

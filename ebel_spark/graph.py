@@ -134,13 +134,19 @@ def materialize_edges(statements_tbl: DataFrame, n_salts: int = 16) -> DataFrame
         ).alias("document_ids"),
         F.sum("cnt").alias("n_statements"),
     )
+    # annotation map -> json string around the dedup: a Map column in the
+    # aggregation buffer forces SortAggregate; strings keep it hash-based
     payload = st.select(
         "edge_key", "relation", "relation_category", "subject_id",
         "subject_bel", "subject_class", "object_id", "object_bel",
         "object_class", "citation_type", "citation_ref", "citation_title",
         "citation_pub_date", "citation_author_list", "citation_comment",
-        "evidence", "annotation", "pmid",
+        "evidence", F.to_json("annotation").alias("annotation_json"), "pmid",
     ).dropDuplicates(["edge_key"])
+    payload = payload.withColumn(
+        "annotation",
+        F.from_json("annotation_json", "map<string,array<string>>"),
+    ).drop("annotation_json")
     return (
         payload.join(phase2, "edge_key")
         .withColumn("evidence", F.regexp_replace("evidence", "\n", " "))

@@ -89,6 +89,7 @@ def run_pipeline(
     with_hints: bool = True,
     n_salts: int = 16,
     parse_partitions: int | None = None,
+    dedup_source: bool = True,
     run_id: str | None = None,
 ) -> dict:
     """Run the full pipeline; returns a metrics dict."""
@@ -117,8 +118,13 @@ def run_pipeline(
     with stage("parse"):
         # dedupe the source ONCE by content hash; combined with the lineage
         # anti-join this guarantees unique file_sha in the parsed store, so
-        # no downstream consumer ever needs a (wide) dropDuplicates
-        src = P.with_file_sha(src).dropDuplicates(["file_sha"])
+        # no downstream consumer ever needs a (wide) dropDuplicates.
+        # NOTE this shuffles the full content column — when source
+        # uniqueness is an ingest invariant (Iceberg upsert key, or a
+        # synthetic corpus), pass dedup_source=False and skip that shuffle.
+        src = P.with_file_sha(src)
+        if dedup_source:
+            src = src.dropDuplicates(["file_sha"])
         if resume and _exists(spark, lineage_path):
             done = spark.read.parquet(lineage_path).select("file_sha")
             todo = src.join(done, "file_sha", "left_anti")

@@ -4,26 +4,34 @@ Runs the identical BEL pipeline input at local[N] and local[4N] in separate
 JVMs (sequential subprocesses) and reports throughput + scaling efficiency
 (throughput_4N / throughput_N) / 4, target >= 0.8.
 
+Each run is CPU-pinned with `taskset -c 0..N-1` so the low-parallelism run
+cannot borrow idle cores for JVM-side work (shuffle/parquet/arrow threads) —
+otherwise local[N] on a 32-core box is NOT a faithful proxy for an N-core
+cluster and the ratio is understated.
+
 Usage: python scripts/scaling_bench.py [--low 8] [--high 32]
-       [--files 4000] [--stmts 100] [--out BENCH.md]
+       [--files 4000] [--stmts 100] [--out BENCH.md] [--no-pin]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import shutil
 import subprocess
 import sys
 import tempfile
 
 
-def run_one(cpus: int, files: int, stmts: int) -> dict:
+def run_one(cpus: int, files: int, stmts: int, pin: bool = True) -> dict:
     with tempfile.NamedTemporaryFile(suffix=".json") as tf:
         cmd = [
             sys.executable, "bench.py", "--bel-only",
             "--cpus", str(cpus), "--files", str(files),
             "--stmts", str(stmts), "--json-out", tf.name,
         ]
+        if pin and shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         subprocess.run(cmd, check=True, capture_output=True)
         with open(tf.name) as fd:
             return json.load(fd)
@@ -36,10 +44,12 @@ def main(argv=None):
     ap.add_argument("--files", type=int, default=4000)
     ap.add_argument("--stmts", type=int, default=100)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--no-pin", action="store_true")
     args = ap.parse_args(argv)
 
-    lo = run_one(args.low, args.files, args.stmts)["bel_pipeline"]
-    hi = run_one(args.high, args.files, args.stmts)["bel_pipeline"]
+    pin = not args.no_pin
+    lo = run_one(args.low, args.files, args.stmts, pin)["bel_pipeline"]
+    hi = run_one(args.high, args.files, args.stmts, pin)["bel_pipeline"]
 
     tp_lo = lo["statements_per_sec"]
     tp_hi = hi["statements_per_sec"]
@@ -47,6 +57,7 @@ def main(argv=None):
     eff = (tp_hi / tp_lo) / ratio
     result = {
         "input": {"files": args.files, "statements": lo["statements"]},
+        "cpu_pinned": pin,
         f"local[{args.low}]": lo,
         f"local[{args.high}]": hi,
         "throughput_ratio": round(tp_hi / tp_lo, 3),
