@@ -731,7 +731,7 @@ class BelScriptParser:
     def _finish_bio_abundance(self, rule: str, mods: tuple) -> tuple[list, str]:
         """g/r/p bodies: either fus(...) or nn [changes]."""
         s = self.s
-        save = (s.pos, s.line, s.col)
+        save = s.pos
         word = s.match(_RE_WORD)
         if word in FUSION_SPELLINGS and self._peek_is("("):
             term = self._finish_fusion(rule)
@@ -740,15 +740,15 @@ class BelScriptParser:
                   "protein": "protein_fusion"}[rule]
             return term, FUNC_IR[fr][1]  # fusion_<x>
         # rewind: it was a namespace keyword, not fus(
-        s.pos, s.line, s.col = save
+        s.pos = save
         return self._finish_simple_abundance(rule, mods), rule
 
     def _peek_is(self, c: str) -> bool:
         s = self.s
-        save = (s.pos, s.line, s.col)
+        save = s.pos
         s.skip_inline_ws()
         hit = s.peek() == c
-        s.pos, s.line, s.col = save
+        s.pos = save
         return hit
 
     def _parse_changes(self, mods: tuple, context: str) -> list:
@@ -760,13 +760,13 @@ class BelScriptParser:
             s.skip_inline_ws()
             if s.peek() != ",":
                 break
-            save = (s.pos, s.line, s.col)
+            save = s.pos
             s.expect_char(",")
             s.skip_inline_ws()
             word = s.match(_RE_WORD)
             rule = MOD_SPELLINGS.get(word or "")
             if rule is None or not self._peek_is("("):
-                s.pos, s.line, s.col = save
+                s.pos = save
                 break
             if rule not in mods:
                 s.fail(f"{word}() not allowed in {context}()", word)
@@ -799,12 +799,12 @@ class BelScriptParser:
                 s.fail("unknown quoted pmod type", val)
             ptype = code
         else:
-            save = (s.pos, s.line, s.col)
+            save = s.pos
             word = s.match(_RE_NS_KEYWORD)
             if word is None:
                 s.fail("expected pmod type or namespace")
             if s.peek() == ":":
-                s.pos, s.line, s.col = save
+                s.pos = save
                 nn = self._parse_nn()
                 ns, name = nn["namespace"], nn["name"]
             elif word in PMOD_UNQUOTED:
@@ -847,12 +847,12 @@ class BelScriptParser:
             if val not in PMOD_QUOTED:
                 s.fail("unknown quoted gmod type", val)
         else:
-            save = (s.pos, s.line, s.col)
+            save = s.pos
             word = s.match(_RE_NS_KEYWORD)
             if word is None:
                 s.fail("expected gmod type or namespace")
             if s.peek() == ":":
-                s.pos, s.line, s.col = save
+                s.pos = save
                 nn = self._parse_nn()
                 ns, name = nn["namespace"], nn["name"]
             elif word not in PMOD_UNQUOTED:
@@ -893,7 +893,7 @@ class BelScriptParser:
         """complex(nn [loc]) or complex(member, member, ...)."""
         s = self.s
         s.skip_inline_ws()
-        save = (s.pos, s.line, s.col)
+        save = s.pos
         word = s.match(_RE_WORD)
         if word is not None and word in FUNC_SPELLINGS and self._peek_is("("):
             # complex_list of _basic_subobj entries
@@ -919,7 +919,7 @@ class BelScriptParser:
             return [_fn("list", "complex"), [_sorted_terms(members)]], "complex"
         # named complex: nn [, loc(...)] — loc is dropped from the IR
         # (transformers.py:290-292 keeps only n[0])
-        s.pos, s.line, s.col = save
+        s.pos = save
         nn = self._parse_nn()
         self._parse_changes(("loc",), "complex")
         self._close_paren("complex")
@@ -965,10 +965,10 @@ class BelScriptParser:
     def _parse_ma_payload(self) -> dict:
         s = self.s
         s.skip_inline_ws()
-        save = (s.pos, s.line, s.col)
+        save = s.pos
         word = s.match(_RE_NS_KEYWORD)
         if word is not None and s.peek() == ":":
-            s.pos, s.line, s.col = save
+            s.pos = save
             nn = self._parse_nn()
             return {"namespace": nn["namespace"], "name": nn["name"],
                     "default": None}

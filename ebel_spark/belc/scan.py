@@ -8,11 +8,28 @@ Whitespace model (cf. /root/reference/ebel/grammar/grammar_bel_2_1.bnf:676):
 spaces, tabs and form-feeds are insignificant; a backslash followed by a
 newline is a line continuation (insignificant); newlines otherwise terminate
 entries.
+
+Performance: the scanner keeps only an integer ``pos``; ``line``/``col`` are
+derived on demand by bisecting a lazily-built newline index.  Position
+queries happen once per recorded token or error, while advances happen once
+per *character* — tracking (line, col) eagerly made ``_advance`` the single
+hottest function of the whole pipeline (and an allocation-heavy one, which
+is what limits multi-core scaling of the parse stage).  All skipping /
+quoted-string reads are single compiled-regex calls.
 """
 
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
+
+_NL_RE = re.compile(r"\n")
+_NLCHAR_RE = re.compile(r"[\r\n]")
+# inline ws and backslash-newline continuations, greedily in one match
+_WS_RE = re.compile(r"(?:[ \t\f]+|\\[ \t]*\r?\n)+")
+# quoted-string bodies: with escapes, \" and \\ pairs never close the string
+_QUOTED_ESC_RE = re.compile(r'(?:\\["\\]|[^"])*')
+_QUOTED_RAW_RE = re.compile(r'[^"]*')
 
 
 class BelSyntaxIssue(Exception):
@@ -27,14 +44,32 @@ class BelSyntaxIssue(Exception):
 
 
 class Scanner:
-    __slots__ = ("text", "n", "pos", "line", "col")
+    __slots__ = ("text", "n", "pos", "_line_starts")
 
     def __init__(self, text: str):
         self.text = text
         self.n = len(text)
         self.pos = 0
-        self.line = 1
-        self.col = 1
+        self._line_starts: list[int] | None = None
+
+    # -- positions (lazy) ----------------------------------------------------
+
+    def _ls(self) -> list[int]:
+        ls = self._line_starts
+        if ls is None:
+            ls = [0]
+            ls.extend(m.end() for m in _NL_RE.finditer(self.text))
+            self._line_starts = ls
+        return ls
+
+    @property
+    def line(self) -> int:
+        return bisect_right(self._ls(), self.pos)
+
+    @property
+    def col(self) -> int:
+        ls = self._ls()
+        return self.pos - ls[bisect_right(ls, self.pos) - 1] + 1
 
     # -- low level ---------------------------------------------------------
 
@@ -45,83 +80,53 @@ class Scanner:
         return self.text[self.pos] if self.pos < self.n else ""
 
     def _advance(self, k: int = 1) -> None:
-        t = self.text
-        p = self.pos
-        end = p + k
-        if end > self.n:
-            end = self.n
-        if k == 1:
-            if t[p] == "\n":
-                self.line += 1
-                self.col = 1
-            else:
-                self.col += 1
-            self.pos = end
-            return
-        nl = t.count("\n", p, end)
-        if nl:
-            self.line += nl
-            self.col = end - t.rindex("\n", p, end)
-        else:
-            self.col += end - p
-        self.pos = end
+        p = self.pos + k
+        self.pos = p if p < self.n else self.n
 
     # -- whitespace / newlines ----------------------------------------------
 
     def skip_inline_ws(self) -> None:
         """Skip spaces/tabs/form-feeds and backslash-newline continuations."""
-        t, n = self.text, self.n
-        while self.pos < n:
-            c = t[self.pos]
-            if c in " \t\f":
-                self._advance()
-            elif c == "\\":
-                # line continuation: backslash, optional inline ws, newline
-                j = self.pos + 1
-                while j < n and t[j] in " \t":
-                    j += 1
-                if j < n and t[j] in "\r\n":
-                    if t[j] == "\r" and j + 1 < n and t[j + 1] == "\n":
-                        j += 1
-                    self._advance(j + 1 - self.pos)
-                else:
-                    return
-            else:
-                return
+        m = _WS_RE.match(self.text, self.pos)
+        if m:
+            self.pos = m.end()
 
     def at_eol(self) -> bool:
-        return self.eof() or self.text[self.pos] in "\r\n"
+        return self.pos >= self.n or self.text[self.pos] in "\r\n"
 
     def consume_eol(self) -> None:
         """Consume a single newline (\\n, \\r\\n or \\r)."""
-        if self.eof():
+        t, p, n = self.text, self.pos, self.n
+        if p >= n:
             return
-        c = self.text[self.pos]
+        c = t[p]
         if c == "\r":
-            if self.pos + 1 < self.n and self.text[self.pos + 1] == "\n":
-                self._advance(2)
-            else:
-                self._advance(1)
+            self.pos = p + (2 if p + 1 < n and t[p + 1] == "\n" else 1)
         elif c == "\n":
-            self._advance(1)
+            self.pos = p + 1
 
     def skip_to_next_logical_line(self) -> None:
         """Error recovery: skip past the next newline that is not a
         backslash continuation (mirrors the reference's logical-line merge,
         /root/reference/ebel/parser.py:250-256)."""
         t, n = self.text, self.n
-        while self.pos < n:
-            c = t[self.pos]
-            if c in "\r\n":
-                # was this newline preceded by a backslash (+ inline ws)?
-                j = self.pos - 1
-                while j >= 0 and t[j] in " \t":
-                    j -= 1
-                if j >= 0 and t[j] == "\\":
-                    self.consume_eol()
-                    continue
+        pos = self.pos
+        while True:
+            m = _NLCHAR_RE.search(t, pos)
+            if not m:
+                self.pos = n
                 return
-            self._advance()
+            i = m.start()
+            j = i - 1
+            while j >= 0 and t[j] in " \t":
+                j -= 1
+            if j >= 0 and t[j] == "\\":
+                # continuation newline: step past it and keep scanning
+                pos = i + (2 if t[i] == "\r" and i + 1 < n
+                           and t[i + 1] == "\n" else 1)
+                continue
+            self.pos = i
+            return
 
     # -- token reading -------------------------------------------------------
 
@@ -130,14 +135,14 @@ class Scanner:
         m = pattern.match(self.text, self.pos)
         if not m:
             return None
-        s = m.group(0)
-        self._advance(len(s))
-        return s
+        self.pos = m.end()
+        return m.group(0)
 
     def expect_char(self, c: str, what: str = "") -> None:
-        if self.peek() != c:
-            self.fail(f"expected '{c}'" + (f" in {what}" if what else ""))
-        self._advance()
+        if self.pos < self.n and self.text[self.pos] == c:
+            self.pos += 1
+            return
+        self.fail(f"expected '{c}'" + (f" in {what}" if what else ""))
 
     def read_quoted(self, escapes: bool = True) -> tuple[str, int, int]:
         """Read a double-quoted token.  Returns (raw inner text, line, col)
@@ -151,19 +156,15 @@ class Scanner:
         """
         self.expect_char('"', "quoted value")
         tline, tcol = self.line, self.col
-        t, n = self.text, self.n
-        start = self.pos
-        while self.pos < n:
-            c = t[self.pos]
-            if c == "\\" and escapes and self.pos + 1 < n and t[self.pos + 1] in '"\\':
-                self._advance(2)
-                continue
-            if c == '"':
-                value = t[start:self.pos]
-                self._advance()
-                return value, tline, tcol
-            self._advance()
-        self.fail("unterminated string")
+        m = (_QUOTED_ESC_RE if escapes else _QUOTED_RAW_RE).match(
+            self.text, self.pos)
+        end = m.end()
+        if end >= self.n or self.text[end] != '"':
+            self.pos = end
+            self.fail("unterminated string")
+        value = self.text[self.pos:end]
+        self.pos = end + 1
+        return value, tline, tcol
 
     def fail(self, message: str, entry: str = "") -> None:
         if not entry:

@@ -27,36 +27,45 @@ from .belc.scriptproc import process_file
 from .schemas import PARSED_SCHEMA
 
 
+# Files per yielded output frame.  Small chunks pipeline: the JVM converts
+# chunk k to UnsafeRows while Python parses chunk k+1, and neither side ever
+# holds a multi-hundred-MB Arrow batch (the parsed row is ~30-50x wider than
+# the source row, so the input-side maxRecordsPerBatch is far too coarse).
+_PARSE_CHUNK = 64
+
+
 def _make_parser(materialize_modifiers: bool, keep_ir: bool):
     cols = [f.name for f in PARSED_SCHEMA.fields]
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {c: [] for c in cols}
-            for row in pdf.itertuples(index=False):
-                r = process_file(
-                    row.content or "",
-                    materialize_modifiers=materialize_modifiers,
-                    keep_ir=keep_ir,
-                )
-                out["file_sha"].append(row.file_sha)
-                out["repo"].append(row.repo)
-                out["path"].append(row.path)
-                out["commit"].append(row.commit)
-                out["lang"].append(row.lang)
-                out["ok"].append(r["ok"])
-                out["document"].append(r["document"])
-                out["definitions"].append(r["definitions"])
-                out["ns_entries"].append(r["ns_entries"])
-                out["anno_entries"].append(r["anno_entries"])
-                out["syntax_errors"].append(r["syntax_errors"])
-                out["statements"].append(r["statements"])
-                out["nodes"].append(r["nodes"])
-                out["child_edges"].append(r["child_edges"])
-                out["n_statements"].append(len(r["statements"]))
-                out["n_syntax_errors"].append(len(r["syntax_errors"]))
-                out["ir_json"].append(r["ir_json"])
-            yield pd.DataFrame(out)
+            for s in range(0, len(pdf), _PARSE_CHUNK):
+                sub = pdf.iloc[s:s + _PARSE_CHUNK]
+                out: dict[str, list] = {c: [] for c in cols}
+                for row in sub.itertuples(index=False):
+                    r = process_file(
+                        row.content or "",
+                        materialize_modifiers=materialize_modifiers,
+                        keep_ir=keep_ir,
+                    )
+                    out["file_sha"].append(row.file_sha)
+                    out["repo"].append(row.repo)
+                    out["path"].append(row.path)
+                    out["commit"].append(row.commit)
+                    out["lang"].append(row.lang)
+                    out["ok"].append(r["ok"])
+                    out["document"].append(r["document"])
+                    out["definitions"].append(r["definitions"])
+                    out["ns_entries"].append(r["ns_entries"])
+                    out["anno_entries"].append(r["anno_entries"])
+                    out["syntax_errors"].append(r["syntax_errors"])
+                    out["statements"].append(r["statements"])
+                    out["nodes"].append(r["nodes"])
+                    out["child_edges"].append(r["child_edges"])
+                    out["n_statements"].append(len(r["statements"]))
+                    out["n_syntax_errors"].append(len(r["syntax_errors"]))
+                    out["ir_json"].append(r["ir_json"])
+                yield pd.DataFrame(out)
 
     return parse_batches
 
