@@ -28,7 +28,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from . import corpus as corpus_mod
 from . import graph as G
@@ -138,8 +138,11 @@ def run_pipeline(
         parsed = spark.read.parquet(parsed_path)
 
     # lineage for all files in the parsed store (scalar columns only —
-    # parquet column pruning keeps this scan narrow)
+    # parquet column pruning keeps this scan narrow).  File/statement
+    # counters ride along as observed metrics of the same write job
+    # instead of separate count() scans.
     with stage("lineage"):
+        obs_lineage = Observation("lineage")
         lineage = parsed.select(
             "file_sha", "repo", "path",
             F.when(F.col("ok"), F.lit("parsed_ok"))
@@ -147,8 +150,18 @@ def run_pipeline(
             F.col("n_statements").cast("int").alias("n_statements"),
             F.col("n_syntax_errors").cast("int").alias("n_errors"),
             F.lit(run_id).alias("run_id"),
+        ).observe(
+            obs_lineage,
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_statements").alias("n_statements"),
+            F.sum((F.col("status") == "parsed_ok").cast("int")).alias("n_ok"),
+            F.sum(F.when(F.col("status") == "parsed_ok",
+                         F.col("n_statements")).otherwise(0)).alias("n_stmt_ok"),
         )
         lineage.write.mode("overwrite").parquet(lineage_path)
+        lin = obs_lineage.get
+        metrics["n_files"] = lin["n_files"]
+        metrics["n_statements"] = int(lin["n_statements"] or 0)
 
     # ---- 2. derived tables -------------------------------------------------
     def _ckpt(df: DataFrame, name: str) -> DataFrame:
@@ -175,10 +188,12 @@ def run_pipeline(
             with_hints=with_hints,
         )
         syn_errors = P.syntax_errors_table(parsed)
-        errors = syn_errors.unionByName(sem_errors)
+        obs_err = Observation("errors")
+        errors = syn_errors.unionByName(sem_errors).observe(
+            obs_err, F.count(F.lit(1)).alias("n"))
         errors.write.mode("overwrite").parquet(os.path.join(out_dir, "errors"))
         errors = spark.read.parquet(os.path.join(out_dir, "errors"))
-        metrics["n_errors"] = errors.count()
+        metrics["n_errors"] = obs_err.get["n"]
 
     # ---- 4. gate files -------------------------------------------------------
     if mode == "strict":
@@ -218,9 +233,19 @@ def run_pipeline(
             struct_edges.select("edge_id", "relation", "relation_category",
                                 "subject_id", "object_id", "document_ids",
                                 "n_statements")))
+        obs_edges = Observation("edges")
+        all_edges = all_edges.observe(
+            obs_edges,
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum((F.col("relation_category") != "ebel").cast("long"))
+            .alias("n_triples"),
+        )
         all_edges.write.mode("overwrite") \
             .partitionBy("relation_category") \
             .parquet(os.path.join(out_dir, "edges"))
+        eo = obs_edges.get
+        metrics["n_triples"] = int(eo["n_triples"] or 0)
+        metrics["n_edges"] = int(eo["n_edges"])
         edges_out = spark.read.parquet(os.path.join(out_dir, "edges"))
 
     with stage("rollup"):
@@ -248,35 +273,17 @@ def run_pipeline(
 
     # ---- 6. write output tables ------------------------------------------------
     with stage("write"):
-        nodes.write.mode("overwrite") \
+        obs_nodes = Observation("nodes")
+        nodes.observe(obs_nodes, F.count(F.lit(1)).alias("n")) \
+            .write.mode("overwrite") \
             .partitionBy("node_class") \
             .parquet(os.path.join(out_dir, "nodes"))
         P.documents_table(parsed).write.mode("overwrite") \
             .parquet(os.path.join(out_dir, "documents"))
+        metrics["n_nodes"] = obs_nodes.get["n"]
 
-    nodes_out = spark.read.parquet(os.path.join(out_dir, "nodes"))
-    # one narrow aggregation over the parsed store for the file/statement
-    # counters (scalar columns only)
-    agg = parsed.agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.sum(F.when(F.col("ok"),
-                     F.col("n_statements")).otherwise(0)).alias("n_stmt_ok"),
-        F.sum("n_statements").alias("n_statements"),
-        F.sum(F.col("ok").cast("int")).alias("n_ok"),
-    ).first()
-    metrics["n_files"] = agg["n_files"]
     metrics["n_valid_files"] = (
-        agg["n_ok"] if mode != "strict" else valid_files.count())
-    metrics["n_statements"] = int(agg["n_statements"] or 0)
-    edge_counts = {
-        r["k"]: r["n"]
-        for r in edges_out.groupBy(
-            (F.col("relation_category") != "ebel").alias("k")
-        ).agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    metrics["n_triples"] = int(edge_counts.get(True, 0))
-    metrics["n_nodes"] = nodes_out.count()
-    metrics["n_edges"] = int(sum(edge_counts.values()))
+        lin["n_ok"] if mode != "strict" else valid_files.count())
     metrics["wall_s"] = round(time.time() - t_total, 3)
 
     with open(os.path.join(out_dir, f"metrics_{run_id}.json"), "w") as fd:

@@ -26,8 +26,11 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores * 2, 16)
     # local mode runs driver + all task threads in ONE JVM: the heap must
-    # scale with the task-slot count or 32 concurrent tasks thrash GC
-    default_mem = f"{max(8, int(cores * 1.5))}g"
+    # scale with the task-slot count or 32 concurrent tasks thrash GC.
+    # -Xms is pinned to -Xmx: G1's dynamic commit/uncommit of a growing
+    # heap showed up as 60-98% *system* CPU (kernel page zeroing) in
+    # vmstat, randomly multiplying stage times 3-20x.
+    default_mem = f"{min(24, max(12, int(cores * 0.75)))}g"
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -46,8 +49,15 @@ def get_spark(
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEM", default_mem))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # the parsed table's rows are ~25 KB of nested structs: the default
+        # 4096-row reader batch needs ~100 MB of contiguous column vectors
+        # PER TASK (OOM at 8 cores, GC churn everywhere else)
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Dlog4j2.level=error")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dlog4j2.level=error -Xms"
+            + os.environ.get("SPARK_DRIVER_MEM", default_mem))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

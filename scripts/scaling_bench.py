@@ -4,13 +4,20 @@ Runs the identical BEL pipeline input at local[N] and local[4N] in separate
 JVMs (sequential subprocesses) and reports throughput + scaling efficiency
 (throughput_4N / throughput_N) / 4, target >= 0.8.
 
-Each run is CPU-pinned with `taskset -c 0..N-1` so the low-parallelism run
-cannot borrow idle cores for JVM-side work (shuffle/parquet/arrow threads) —
-otherwise local[N] on a 32-core box is NOT a faithful proxy for an N-core
-cluster and the ratio is understated.
+Protocol details that make the local-mode proxy faithful to an N-executor
+cluster:
+
+- **CPU pinning** (`taskset -c 0..N-1`): the low-parallelism run must not
+  borrow idle cores for JVM-side work (shuffle/parquet/arrow threads).
+- **Warmup**: a smaller pipeline run first, then two timed runs with the
+  best taken.  A cluster amortizes JIT over hours; a 2-minute cold JVM
+  spends a third of its time compiling the nested-parquet and codegen
+  paths, which would be attributed to whichever parallelism ran it.
+- **Throughput metric**: statements/sec over the full parse -> validate ->
+  materialize -> link -> write pipeline on the same deterministic corpus.
 
 Usage: python scripts/scaling_bench.py [--low 8] [--high 32]
-       [--files 4000] [--stmts 100] [--out BENCH.md] [--no-pin]
+       [--files 20000] [--stmts 250] [--out BENCH_SCALING.json] [--no-pin]
 """
 
 from __future__ import annotations
@@ -20,36 +27,35 @@ import json
 import shutil
 import subprocess
 import sys
-import tempfile
+import os
 
 
-def run_one(cpus: int, files: int, stmts: int, pin: bool = True) -> dict:
-    with tempfile.NamedTemporaryFile(suffix=".json") as tf:
-        cmd = [
-            sys.executable, "bench.py", "--bel-only",
-            "--cpus", str(cpus), "--files", str(files),
-            "--stmts", str(stmts), "--json-out", tf.name,
-        ]
-        if pin and shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-        subprocess.run(cmd, check=True, capture_output=True)
-        with open(tf.name) as fd:
-            return json.load(fd)
+def run_one(cpus: int, files: int, stmts: int, warm: int, pin: bool) -> dict:
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "pipeline_scale_test.py")
+    cmd = [sys.executable, script, "--cpus", str(cpus),
+           "--files", str(files), "--stmts", str(stmts),
+           "--warm-files", str(warm)]
+    if pin and shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--files", type=int, default=4000)
-    ap.add_argument("--stmts", type=int, default=100)
+    ap.add_argument("--files", type=int, default=20000)
+    ap.add_argument("--stmts", type=int, default=250)
+    ap.add_argument("--warm-files", type=int, default=2000)
     ap.add_argument("--out", default=None)
     ap.add_argument("--no-pin", action="store_true")
     args = ap.parse_args(argv)
 
     pin = not args.no_pin
-    lo = run_one(args.low, args.files, args.stmts, pin)["bel_pipeline"]
-    hi = run_one(args.high, args.files, args.stmts, pin)["bel_pipeline"]
+    hi = run_one(args.high, args.files, args.stmts, args.warm_files, pin)
+    lo = run_one(args.low, args.files, args.stmts, args.warm_files, pin)
 
     tp_lo = lo["statements_per_sec"]
     tp_hi = hi["statements_per_sec"]
@@ -58,6 +64,7 @@ def main(argv=None):
     result = {
         "input": {"files": args.files, "statements": lo["statements"]},
         "cpu_pinned": pin,
+        "protocol": "warmup run + best of 2 timed full-pipeline runs",
         f"local[{args.low}]": lo,
         f"local[{args.high}]": hi,
         "throughput_ratio": round(tp_hi / tp_lo, 3),
