@@ -91,6 +91,7 @@ def run_pipeline(
     parse_partitions: int | None = None,
     dedup_source: bool = True,
     run_id: str | None = None,
+    intermediate: str = "persist",
 ) -> dict:
     """Run the full pipeline; returns a metrics dict."""
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -164,17 +165,33 @@ def run_pipeline(
         metrics["n_statements"] = int(lin["n_statements"] or 0)
 
     # ---- 2. derived tables -------------------------------------------------
-    def _ckpt(df: DataFrame, name: str) -> DataFrame:
-        p = os.path.join(out_dir, "_stage", name)
-        df.write.mode("overwrite").parquet(p)
-        return spark.read.parquet(p)
+    # Multi-consumer intermediates are persisted MEMORY_AND_DISK (spills per
+    # executor on a real cluster) rather than written to parquet: the parsed
+    # table is the durable resume checkpoint, and every downstream stage is
+    # deterministic from it, so intra-run intermediates only need lineage
+    # truncation, not durability.  `intermediate="parquet"` restores the
+    # old write-through behavior for debugging stage outputs.
+    _persisted: list[DataFrame] = []
+
+    if intermediate == "parquet":
+        def _ckpt(df: DataFrame, name: str) -> DataFrame:
+            p = os.path.join(out_dir, "_stage", name)
+            df.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
+    else:
+        from pyspark import StorageLevel
+
+        def _ckpt(df: DataFrame, name: str) -> DataFrame:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            _persisted.append(df)
+            return df
 
     statements = P.statements_table(parsed)
     nodes_raw = P.nodes_table(parsed)
     child_edges_raw = P.child_edges_table(parsed)
     # the entry/definition tables are tiny next to the wide parsed table;
     # checkpointing them means the 4 validation families read a narrow
-    # parquet instead of re-exploding the nested parse output 4x
+    # table instead of re-exploding the nested parse output 4x
     entries = _ckpt(P.entries_table(parsed), "entries")
     defs = _ckpt(P.definitions_table(parsed), "defs")
 
@@ -204,26 +221,31 @@ def run_pipeline(
         valid_files = parsed.filter("ok").select("file_sha")
 
     # ---- 5. graph materialization --------------------------------------------
-    # Each super-stage is checkpointed to parquet so downstream stages never
-    # re-execute the parse/aggregate DAG — at 100 TB the alternative is a
-    # multi-x recompute of the most expensive stages.
+    # Each super-stage is checkpointed (persist or parquet, see _ckpt) so
+    # downstream stages never re-execute the parse/aggregate DAG — at 100 TB
+    # the alternative is a multi-x recompute of the most expensive stages.
     with stage("materialize"):
         st_valid = statements.join(valid_files, "file_sha", "left_semi")
-        nodes = _ckpt(
-            G.materialize_nodes(
-                nodes_raw.join(valid_files, "file_sha", "left_semi"),
-                modifiers_materialized=materialize_modifiers),
-            "nodes0")
-        edges_stmt = _ckpt(G.materialize_edges(st_valid, n_salts=n_salts),
-                           "edges_stmt")
-        struct_edges = _ckpt(
-            G.materialize_structural_edges(
-                child_edges_raw.join(valid_files, "file_sha", "left_semi")),
-            "struct_edges")
+        with stage("materialize.nodes0"):
+            nodes = _ckpt(
+                G.materialize_nodes(
+                    nodes_raw.join(valid_files, "file_sha", "left_semi"),
+                    modifiers_materialized=materialize_modifiers),
+                "nodes0")
+        with stage("materialize.edges_stmt"):
+            edges_stmt = _ckpt(G.materialize_edges(st_valid, n_salts=n_salts),
+                               "edges_stmt")
+        with stage("materialize.struct_edges"):
+            struct_edges = _ckpt(
+                G.materialize_structural_edges(
+                    child_edges_raw.join(valid_files, "file_sha",
+                                         "left_semi")),
+                "struct_edges")
 
         if protein2gene:
-            nodes, p2g_edges = G.protein2gene(nodes, edges_stmt)
-            nodes = _ckpt(nodes, "nodes1")
+            with stage("materialize.p2g"):
+                nodes, p2g_edges = G.protein2gene(nodes, edges_stmt)
+                nodes = _ckpt(nodes, "nodes1")
             edges = _align_edges(edges_stmt).unionByName(
                 _align_edges(p2g_edges))
         else:
@@ -285,6 +307,9 @@ def run_pipeline(
     metrics["n_valid_files"] = (
         lin["n_ok"] if mode != "strict" else valid_files.count())
     metrics["wall_s"] = round(time.time() - t_total, 3)
+
+    for _df in _persisted:
+        _df.unpersist()
 
     with open(os.path.join(out_dir, f"metrics_{run_id}.json"), "w") as fd:
         json.dump(metrics, fd, indent=2)

@@ -31,9 +31,14 @@ def get_spark(
     # heap showed up as 60-98% *system* CPU (kernel page zeroing) in
     # vmstat, randomly multiplying stage times 3-20x.
     default_mem = f"{min(24, max(12, int(cores * 0.75)))}g"
+    b = SparkSession.builder
+    # under spark-submit the master comes from the launch command
+    # (--master yarn / spark://...); only default to local[] when none is set
+    from pyspark import SparkConf
+    if not SparkConf().contains("spark.master"):
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        b.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
