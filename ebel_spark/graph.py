@@ -290,24 +290,34 @@ def descendant_closure(
         struct_edges.filter(F.col("relation").isin(list(relations)))
         .select(F.col("subject_id").alias("src"), F.col("object_id").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    level = e.select(F.col("src").alias("root"), F.col("dst").alias("nid"))
-    acc = level
-    frontier = level
-    # iterate to fixpoint: real BEL nesting is depth 2-3, so checking the
-    # frontier (limit-1 probe against a localCheckpointed level) replaces
-    # 5-6 provably-empty self-join stages per closure with one cheap probe
-    for _ in range(max_depth - 1):
-        nxt = (
+
+    def extend(frontier):
+        return (
             frontier.alias("f")
             .join(e.alias("e"), F.col("f.nid") == F.col("e.src"))
             .select(F.col("f.root").alias("root"), F.col("e.dst").alias("nid"))
-        ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        acc = acc.unionByName(nxt)
-        frontier = nxt
+        )
+
+    level = e.select(F.col("src").alias("root"), F.col("dst").alias("nid"))
+    acc = level
+    frontier = level
+    # Unroll the first `_STATIC_DEPTH` levels as one lazy DAG (the shuffle
+    # behind `e` is planned once and reused across levels via
+    # ReusedExchange), then probe whether anything deeper exists at all —
+    # real BEL terms nest 2-4 deep, so the probe is one limit-1 job instead
+    # of a blocking materialize+check per level.
+    _STATIC_DEPTH = 4
+    for _ in range(min(_STATIC_DEPTH, max_depth) - 1):
+        frontier = extend(frontier)
+        acc = acc.unionByName(frontier)
+    depth = min(_STATIC_DEPTH, max_depth)
+    if depth < max_depth:
+        frontier = extend(frontier).localCheckpoint(eager=True)
+        while depth < max_depth and not frontier.isEmpty():
+            acc = acc.unionByName(frontier)
+            frontier = extend(frontier).localCheckpoint(eager=True)
+            depth += 1
     return acc.distinct()
 
 
@@ -330,7 +340,9 @@ def involved_rollup(
             reach = genes_closure
         else:
             reach = descendant_closure(struct_edges, relations, max_depth)
-        reach = reach.unionByName(self_pairs).distinct()
+        # no distinct needed: the closure is distinct and never contains
+        # (x, x) — a content-addressed term tree cannot reach itself
+        reach = reach.unionByName(self_pairs)
         d = nodes.select(
             F.col("node_id").alias("nid"),
             F.col("node_class").alias("d_class"),

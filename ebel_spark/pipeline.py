@@ -91,7 +91,7 @@ def run_pipeline(
     parse_partitions: int | None = None,
     dedup_source: bool = True,
     run_id: str | None = None,
-    intermediate: str = "persist",
+    intermediate: str = "parquet",
 ) -> dict:
     """Run the full pipeline; returns a metrics dict."""
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -233,8 +233,25 @@ def run_pipeline(
                     modifiers_materialized=materialize_modifiers),
                 "nodes0")
         with stage("materialize.edges_stmt"):
-            edges_stmt = _ckpt(G.materialize_edges(st_valid, n_salts=n_salts),
-                               "edges_stmt")
+            edges_stmt = G.materialize_edges(st_valid, n_salts=n_salts)
+            # p2g only probes which object_ids already have an incoming
+            # translated_to/transcribed_to edge — a KB-sized projection.
+            if intermediate == "parquet":
+                # the wide frame checkpoints once; the probe reads it back
+                edges_stmt = _ckpt(edges_stmt, "edges_stmt")
+                p2g_probe = edges_stmt.filter(F.col("relation").isin(
+                    ["translated_to", "transcribed_to"]))\
+                    .select("relation", "object_id")
+            else:
+                # caching the full wide frame costs a second
+                # materialization of the heaviest shuffle and OOMs
+                # small-heap configs: checkpoint only the probe; the wide
+                # DAG executes once, inside the union write below
+                p2g_probe = _ckpt(
+                    edges_stmt.filter(F.col("relation").isin(
+                        ["translated_to", "transcribed_to"]))
+                    .select("relation", "object_id"),
+                    "p2g_probe")
         with stage("materialize.struct_edges"):
             struct_edges = _ckpt(
                 G.materialize_structural_edges(
@@ -244,7 +261,7 @@ def run_pipeline(
 
         if protein2gene:
             with stage("materialize.p2g"):
-                nodes, p2g_edges = G.protein2gene(nodes, edges_stmt)
+                nodes, p2g_edges = G.protein2gene(nodes, p2g_probe)
                 nodes = _ckpt(nodes, "nodes1")
             edges = _align_edges(edges_stmt).unionByName(
                 _align_edges(p2g_edges))
@@ -274,19 +291,23 @@ def run_pipeline(
         if involved or species:
             closure = G.descendant_closure(
                 struct_edges, G.INVOLVED_GENES_EDGES).persist()
+            _persisted.append(closure)
+        nodes_base = nodes  # cached pre-rollup frame; both rollups derive
+        # from it so neither embeds the other's aggregation DAG
         if involved:
-            inv = G.involved_rollup(nodes, struct_edges,
+            inv = G.involved_rollup(nodes_base, struct_edges,
                                     genes_closure=closure)
             nodes = nodes.join(inv, "node_id", "left")
         if species:
             sp = G.species_tagging(
-                nodes, struct_edges,
+                nodes_base, struct_edges,
                 edges_out.filter(F.col("relation_category") != "ebel"),
                 genes_closure=closure)
             nodes = nodes.join(sp, "node_id", "left")
         if involved or species:
+            # link_hgnc consumes its input twice (existing-names anti-join),
+            # so the rollup output must be materialized exactly once here
             nodes = _ckpt(nodes, "nodes2")
-            closure.unpersist()
 
     with stage("link"):
         if enrich:
@@ -366,6 +387,10 @@ def main(argv=None):
             profile = corpus_mod.CorpusProfile(n_files=n,
                                                statements_per_file=m)
         src = corpus_mod.corpus_spark(spark, profile)
+    elif args.source.startswith("table:"):
+        # catalog table (Iceberg/Hive) with the input_hint schema
+        # (repo, path, commit, lang, content)
+        src = spark.read.table(args.source.split(":", 1)[1])
     else:
         src = spark.read.parquet(args.source)
 

@@ -671,6 +671,93 @@ def bel_validation_errors(spark, sf_dir):
     return P.syntax_errors_table(parsed).unionByName(sem)
 
 
+# ---------------------------------------------------------------------------
+# §2.9 graph queries over edge tables
+# ---------------------------------------------------------------------------
+
+@q("edges_reverse_union", """
+SELECT CAST(l_orderkey AS BIGINT) AS src, CAST(l_suppkey AS BIGINT) AS dst,
+       'out' AS direction
+FROM lineitem WHERE l_quantity >= 48
+UNION ALL
+SELECT CAST(l_suppkey AS BIGINT) AS src, CAST(l_orderkey AS BIGINT) AS dst,
+       'in' AS direction
+FROM lineitem WHERE l_quantity >= 48
+""")
+def edges_reverse_union(spark, sf_dir):
+    """Reverse-edge materialization for symmetric relations: the reference
+    stores one edge per correlative statement and exposes both directions
+    (/root/reference/ebel/manager/orientdb/odb_meta.py:987-1006); on an edge
+    table that is a union with swapped endpoints."""
+    e = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select(F.col("l_orderkey").cast("long").alias("src"),
+                F.col("l_suppkey").cast("long").alias("dst"))
+    )
+    fwd = e.withColumn("direction", F.lit("out"))
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst")) \
+        .withColumn("direction", F.lit("in"))
+    return fwd.unionByName(rev)
+
+
+@q("paths_upto_3", """
+WITH e AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS o,
+                           CAST(l_partkey AS BIGINT) AS p
+           FROM lineitem WHERE l_quantity > 30),
+     seeds AS (SELECT CAST(o_orderkey AS BIGINT) AS o FROM orders
+               WHERE o_orderkey % 9973 = 0)
+SELECT 1 AS path_len, s.o AS n1, e1.p AS n2,
+       CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4
+FROM seeds s JOIN e e1 ON s.o = e1.o
+UNION ALL
+SELECT 2, s.o, e1.p, e2.o, CAST(NULL AS BIGINT)
+FROM seeds s JOIN e e1 ON s.o = e1.o
+             JOIN e e2 ON e1.p = e2.p AND e2.o <> s.o
+UNION ALL
+SELECT 3, s.o, e1.p, e2.o, e3.p
+FROM seeds s JOIN e e1 ON s.o = e1.o
+             JOIN e e2 ON e1.p = e2.p AND e2.o <> s.o
+             JOIN e e3 ON e2.o = e3.o AND e3.p <> e1.p
+""")
+def paths_upto_3(spark, sf_dir):
+    """Variable-length path query (min 1, max 3 hops, per-hop edge
+    predicate, no immediate backtracking) — the reference's PathQuery
+    (/root/reference/ebel/web/api/ebel/v1/bel.py:982-1144) re-expressed as
+    unrolled edge-table self-joins over a bipartite order<->part graph.
+    Each hop level is one broadcast/shuffle join; a length-k query is a
+    static k-join DAG, so Catalyst plans and AQE-sizes every hop."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = (
+        li.filter(F.col("l_quantity") > 30)
+        .select(F.col("l_orderkey").cast("long").alias("o"),
+                F.col("l_partkey").cast("long").alias("p"))
+        .distinct()
+    )
+    seeds = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 9973 == 0)
+        .select(F.col("o_orderkey").cast("long").alias("o"))
+    )
+    nulll = F.lit(None).cast("long")
+    h1 = seeds.join(e.alias("e1"), "o").select(
+        F.col("o").alias("n1"), F.col("e1.p").alias("n2"))
+    p1 = h1.select(F.lit(1).alias("path_len"), "n1", "n2",
+                   nulll.alias("n3"), nulll.alias("n4"))
+    e2 = e.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    h2 = h1.join(e2, F.col("n2") == F.col("p2")) \
+        .filter(F.col("o2") != F.col("n1")) \
+        .select("n1", "n2", F.col("o2").alias("n3"))
+    p2 = h2.select(F.lit(2).alias("path_len"), "n1", "n2", "n3",
+                   nulll.alias("n4"))
+    e3 = e.select(F.col("o").alias("o3"), F.col("p").alias("p3"))
+    h3 = h2.join(e3, F.col("n3") == F.col("o3")) \
+        .filter(F.col("p3") != F.col("n2")) \
+        .select("n1", "n2", "n3", F.col("p3").alias("n4"))
+    p3 = h3.select(F.lit(3).alias("path_len"), "n1", "n2", "n3", "n4")
+    return p1.unionByName(p2).unionByName(p3)
+
+
 def queries() -> dict:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 

@@ -30,7 +30,9 @@ def get_spark(
     # -Xms is pinned to -Xmx: G1's dynamic commit/uncommit of a growing
     # heap showed up as 60-98% *system* CPU (kernel page zeroing) in
     # vmstat, randomly multiplying stage times 3-20x.
-    default_mem = f"{min(24, max(12, int(cores * 0.75)))}g"
+    # memory scales with the slot count (a 4N-executor cluster has 4x the
+    # memory of an N-executor one, so the local proxy must too)
+    default_mem = f"{max(12, int(cores * 1.5))}g"
     b = SparkSession.builder
     # under spark-submit the master comes from the launch command
     # (--master yarn / spark://...); only default to local[] when none is set

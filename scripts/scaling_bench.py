@@ -38,7 +38,10 @@ def run_one(cpus: int, files: int, stmts: int, warm: int, pin: bool) -> dict:
            "--warm-files", str(warm)]
     if pin and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-    out = subprocess.run(cmd, check=True, capture_output=True, text=True)
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"run at {cpus} cores failed rc={out.returncode}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
