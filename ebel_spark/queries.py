@@ -28,6 +28,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a compute-heavy input (documents/embeddings) and guarantee the
+    scan's parallelism matches the session's core count.
+
+    A single-file parquet yields one input split, so every per-row-expensive
+    expression (shingling, minhash, cosine) would run in ONE task no matter
+    how many cores the session has (VERDICT r1).  At 100 TB the many-files
+    layout already provides splits, so the repartition is a no-op there —
+    the guard only fires when the scan has fewer partitions than cores."""
+    df = _t(spark, sf_dir, name)
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
+    return df
+
+
 QUERIES: dict[str, tuple] = {}
 
 
@@ -293,7 +309,7 @@ WITH gaps AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM gaps GROUP BY user_id
 """)
 def user_sessions(spark, sf_dir):
@@ -347,7 +363,7 @@ SELECT event_id,
        json_extract_string(props, '$.k')       AS k_val,
        md5(event_type)                         AS type_md5,
        sha256(event_type)                      AS type_sha,
-       ceil(value)                             AS value_ceil,
+       CAST(ceil(value) AS BIGINT)             AS value_ceil,
        upper(substr(event_type, 1, 1)) || substr(event_type, 2)
                                                AS type_camel,
        regexp_extract(props, '"k": ([0-9]+)', 1) AS k_regex
@@ -422,7 +438,7 @@ SELECT doc_id,
 FROM documents
 """)
 def doc_token_counts(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         T.token_count(F.col("text")).alias("n_tokens"),
@@ -437,7 +453,7 @@ SELECT doc_id,
 FROM documents WHERE length(text) > 0
 """)
 def doc_punct_ratio(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = _tw(spark, sf_dir, "documents").filter(F.length("text") > 0)
     return d.select(
         "doc_id", F.round(T.punct_ratio(F.col("text")), 4).alias("punct_ratio")
     )
@@ -458,7 +474,7 @@ SELECT doc_id,
 FROM toks
 """)
 def doc_stopword_ratio(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.round(T.stopword_ratio(F.col("text")), 4).alias("stopword_ratio"),
@@ -469,7 +485,7 @@ def doc_stopword_ratio(spark, sf_dir):
 # no DuckDB twin)
 @q("doc_text_profile")
 def doc_text_profile(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return T.text_profile(d, "text").select(
         "doc_id", "n_tokens", "quality", "lang_pred", "fingerprint")
 
@@ -487,7 +503,7 @@ FROM h JOIN h h2 ON h.text_sha = h2.text_sha
 GROUP BY h.doc_id, h.text_sha
 """)
 def doc_exact_dups(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return D.exact_dedup(d, "doc_id", "text")
 
 
@@ -516,21 +532,21 @@ WHERE len(a.sh) > 0 AND len(b.sh) > 0
       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
 """)
 def doc_ngram_jaccard_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3,
                                  threshold=0.5, max_df=1000)
 
 
 @q("doc_minhash_pairs")  # rows-only: xxhash64 signatures have no DuckDB twin
 def doc_minhash_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(d, "doc_id", "text", k=32, bands=16,
                                shingle_n=3, threshold=0.5)
 
 
 @q("doc_simhash_pairs")  # rows-only
 def doc_simhash_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     return D.simhash_pairs(d, "doc_id", "text", max_hamming=3)
 
 
@@ -553,7 +569,7 @@ SELECT query_id, corpus_id, cosine, rnk FROM (
 ) WHERE rnk <= 3
 """)
 def ann_brute_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tw(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") < 8)
     res = X.brute_force_topk(e, qdf, k=3)
     # round BEFORE ranking on both sides so near-tie ordering agrees
@@ -583,7 +599,7 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 """)
 def embedding_dup_pairs_exact(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tw(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     return (
@@ -596,14 +612,14 @@ def embedding_dup_pairs_exact(spark, sf_dir):
 
 @q("ann_lsh_topk")  # rows-only: approximate path, no SQL twin
 def ann_lsh_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tw(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") < 8)
     return X.lsh_topk(e, qdf, dim=64, k=3, nbits=8)
 
 
 @q("embedding_dup_pairs_lsh")  # rows-only scale path
 def embedding_dup_pairs_lsh(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _tw(spark, sf_dir, "embeddings")
     return X.embedding_cosine_dup_pairs(e, threshold=0.45, dim=64, nbits=6)
 
 
@@ -613,15 +629,37 @@ def embedding_dup_pairs_lsh(spark, sf_dir):
 
 @q("multimodal_features")
 def multimodal_features(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # features stringified: the driver's canonicalizer can't hash array cells
+    d = _tw(spark, sf_dir, "documents")
     assets = synth_assets(d)
-    return extract_features(assets, bins=16)
+    feats = extract_features(assets, bins=16)
+    return feats.select(
+        "asset_id", "kind", "n_bytes",
+        F.to_json("features").alias("features"),
+    )
 
 
-@q("video_frame_plan")
+@q("video_frame_plan", """
+SELECT doc_id AS asset_id,
+       CAST((doc_id % 30 + 1) * 1000 AS BIGINT) AS duration_ms,
+       array_to_string(
+         list_transform(
+           generate_series(0, CAST(least((doc_id % 30 + 1), 8) AS BIGINT) - 1),
+           i -> CAST(i * 1000 AS BIGINT)),
+         ',') AS frame_offsets_ms
+FROM documents WHERE doc_id % 3 = 2
+""")
 def video_frame_plan(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return frame_sample_plan(synth_assets(d))
+    d = _tw(spark, sf_dir, "documents")
+    plan = frame_sample_plan(synth_assets(d))
+    return plan.select(
+        "asset_id",
+        F.col("duration_ms").cast("bigint").alias("duration_ms"),
+        F.array_join(
+            F.transform("frame_offsets_ms",
+                        lambda c: c.cast("bigint").cast("string")),
+            ",").alias("frame_offsets_ms"),
+    )
 
 
 # ---------------------------------------------------------------------------
