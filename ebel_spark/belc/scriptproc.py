@@ -19,6 +19,7 @@ def process_file(
     content: str,
     materialize_modifiers: bool = False,
     keep_ir: bool = False,
+    emit_ids: bool = True,
 ) -> dict[str, Any]:
     """Parse + compile one BEL script.
 
@@ -48,22 +49,21 @@ def process_file(
                 object_class, object_id = extract_nodes(
                     obj, nodes_raw, child_edges_raw, materialize_modifiers)
                 object_bel = bel_string(obj)
-                edge_key = edge_profile(
-                    relation, subject_id, object_id,
-                    st["citation_type"], st["citation_ref"],
-                    st["evidence"], st["annotation"],
-                )
+                if emit_ids:
+                    edge_key = edge_profile(
+                        relation, subject_id, object_id,
+                        st["citation_type"], st["citation_ref"],
+                        st["evidence"], st["annotation"],
+                    )
 
-            statements.append({
+            row = {
                 "stmt_idx": st["stmt_idx"],
                 "subject_bel": subject_bel,
                 "subject_class": subject_class,
-                "subject_id": subject_id,
                 "relation": relation,
                 "relation_category": RELATION_CATEGORY.get(relation) if relation else None,
                 "object_bel": object_bel,
                 "object_class": object_class,
-                "object_id": object_id,
                 "nested": st["nested_subject"] is not None,
                 "citation_type": st["citation_type"],
                 "citation_ref": st["citation_ref"],
@@ -74,8 +74,15 @@ def process_file(
                 "evidence": st["evidence"] or None,
                 "annotation": {k: list(v) for k, v in st["annotation"].items()},
                 "pmid": st["pmid"],
-                "edge_key": edge_key,
-            })
+            }
+            if emit_ids:
+                # ids are derivable (sha256 of class|bel / the 7-tuple) and
+                # have exact JVM twins; the Spark path recomputes them in
+                # statements_table instead of shipping ~60% more Arrow bytes
+                row["subject_id"] = subject_id
+                row["object_id"] = object_id
+                row["edge_key"] = edge_key
+            statements.append(row)
 
     # within-file node dedup: same (class, bel) -> one row, OR the
     # has_modifiers flags (bel string determines modifiers, so flags agree)

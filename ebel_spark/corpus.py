@@ -176,8 +176,19 @@ def make_bel_file(file_id: int, v: _Vocab, p: CorpusProfile) -> str:
     stmt_no = 0
     for b in range(n_blocks):
         pmid = 10_000_000 + (file_id * 97 + b * 13) % 5_000_000
-        lines.append('SET Citation = {"PubMed", "Synthetic journal %d", "%d"}'
-                     % (b, pmid))
+        # half the blocks carry the 6-field citation with a pub_date so the
+        # publication-year statistics have real data; deterministic parity
+        # check (not rng) keeps the rng stream unchanged either way
+        if (file_id + b) % 2 == 0:
+            year = 2005 + (file_id * 7 + b * 3) % 20
+            lines.append(
+                'SET Citation = {"PubMed", "Synthetic journal %d", "%d", '
+                '"%d-%02d-01", "Author A|Author B", ""}'
+                % (b, pmid, year, b % 12 + 1))
+        else:
+            lines.append(
+                'SET Citation = {"PubMed", "Synthetic journal %d", "%d"}'
+                % (b, pmid))
         lines.append('SET Evidence = "Synthetic evidence text %d for file %d."'
                      % (b, file_id))
         if rng.random() < 0.7:

@@ -43,15 +43,31 @@ def node_id_col(cls_col, bel_col):
     return F.substring(F.sha2(F.concat_ws("|", cls_col, bel_col), 256), 1, 32)
 
 
-def edge_key_col(relation, subj, obj, ctype, cref, evidence, anno_json):
-    """Spark-side twin of belc.canon.edge_profile."""
+def annotation_flat_col(anno_col):
+    """Spark twin of belc.canon.annotation_flat: sort-by-key flat encoding
+    of the annotation map.  Sorting the concatenated "key\\x1dvalues"
+    strings equals sorting by key because \\x1d sorts below every
+    grammar-legal key character."""
+    return F.array_join(
+        F.array_sort(F.transform(
+            F.map_entries(anno_col),
+            lambda e: F.concat(e.key, F.lit("\x1d"),
+                               F.array_join(e.value, ",")),
+        )),
+        "\x1e",
+    )
+
+
+def edge_key_col(relation, subj, obj, ctype, cref, evidence, anno_flat):
+    """Spark-side twin of belc.canon.edge_profile (anno_flat = the
+    annotation_flat_col encoding, or lit("") for no annotations)."""
     raw = F.concat_ws(
         "\x1f",
         relation, subj, obj,
         F.coalesce(ctype, F.lit(_NULL)),
         F.coalesce(cref, F.lit(_NULL)),
         F.coalesce(F.regexp_replace(evidence, "\n", " "), F.lit("")),
-        anno_json,
+        anno_flat,
     )
     return F.substring(F.sha2(raw, 256), 1, 32)
 
@@ -234,7 +250,7 @@ def _missing_counterparts(
         "edge_id",
         edge_key_col(F.col("relation"), F.col("subject_id"),
                      F.col("object_id"), F.lit(None).cast("string"),
-                     F.lit(None).cast("string"), F.lit(""), F.lit("{}")),
+                     F.lit(None).cast("string"), F.lit(""), F.lit("")),
     )
     return new_nodes, new_edges
 
@@ -314,10 +330,14 @@ def descendant_closure(
     depth = min(_STATIC_DEPTH, max_depth)
     if depth < max_depth:
         frontier = extend(frontier).localCheckpoint(eager=True)
-        while depth < max_depth and not frontier.isEmpty():
+        while not frontier.isEmpty():
             acc = acc.unionByName(frontier)
-            frontier = extend(frontier).localCheckpoint(eager=True)
             depth += 1
+            if depth >= max_depth:
+                # don't extend a level that could never be added to acc —
+                # that would eagerly materialize one wasted Spark job
+                break
+            frontier = extend(frontier).localCheckpoint(eager=True)
     return acc.distinct()
 
 
@@ -425,8 +445,16 @@ def species_tagging(
             F.element_at(smap, F.element_at("nss", 1)).alias("species"),
         )
     )
-    both = direct.unionByName(uniq).groupBy("node_id").agg(
-        F.max("species").alias("species")
+    # the direct-namespace rule takes precedence over the inferred
+    # unique-descendant rule when both fire (biodbs/bel.py:419-454 applies
+    # the direct rule first); coalesce, don't max — max would pick whichever
+    # taxid is numerically larger
+    both = (
+        direct.select("node_id", F.col("species").alias("sp_direct"))
+        .join(uniq.select("node_id", F.col("species").alias("sp_inferred")),
+              "node_id", "full")
+        .select("node_id",
+                F.coalesce("sp_direct", "sp_inferred").alias("species"))
     )
     return both
 

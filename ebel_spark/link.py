@@ -24,6 +24,30 @@ from .graph import BIO_OBJECT_CLASSES
 from .belc.vocab import GENE_LIKE_CLASSES
 
 
+_LOCATION_RE = r"^(\d+|X|Y|mitochondria)(?:(?:(p|q)?(\d+))?(?:\.(\d+)))?"
+
+
+def location_struct_col(loc):
+    """Spark twin of the reference HGNC chromosome-location parser
+    (hgnc.py:239-253): '19q13.43' -> (chromosome=19, arm=q, region=13,
+    band=43); non-matching strings carry `unknown_schema` instead."""
+    chrom = F.regexp_extract(loc, _LOCATION_RE, 1)
+    arm = F.regexp_extract(loc, _LOCATION_RE, 2)
+    region = F.regexp_extract(loc, _LOCATION_RE, 3)
+    band = F.regexp_extract(loc, _LOCATION_RE, 4)
+
+    def nn(c):
+        return F.when(c != "", c)
+
+    return F.when(loc.isNotNull(), F.struct(
+        nn(chrom).alias("chromosome"),
+        nn(arm).alias("arm"),
+        nn(region).cast("int").alias("region"),
+        nn(band).cast("int").alias("band"),
+        F.when(chrom == "", loc).alias("unknown_schema"),
+    ))
+
+
 def link_hgnc(nodes: DataFrame, hgnc: DataFrame) -> DataFrame:
     """Adds hgnc_symbol / label / location; corrects outdated symbols via
     prev_symbols.  Returns nodes with extra columns:
@@ -92,6 +116,7 @@ def link_hgnc(nodes: DataFrame, hgnc: DataFrame) -> DataFrame:
         )
         .drop("h_symbol", "h_label", "h_location",
               "p_prev", "p_symbol", "p_label", "p_location")
+        .withColumn("location_struct", location_struct_col(F.col("location")))
     )
     return out
 

@@ -1,0 +1,121 @@
+"""Driver-side oracle tables for the BEL pipeline queries.
+
+The driver's correctness gate runs each Spark query against an ANSI-SQL
+DuckDB oracle.  The parse UDF itself has no SQL twin, but everything
+downstream of it (explode, edge dedup, node dedup, validation joins) is
+relational — so we materialize narrow projections of the parsed corpus to
+parquet ONCE, driver-side with pandas/pyarrow (deterministic, no Spark
+dependency, so the files exist no matter which side the driver evaluates
+first), and let BOTH the Spark query and the DuckDB oracle read them:
+
+- Spark re-parses the corpus distributed (mapInPandas) and aggregates with
+  DataFrame algebra; the oracle aggregates the pandas-parsed parquet with
+  plain SQL.  A mismatch flags either a parse-path divergence or a wrong
+  aggregation — exactly the two things worth checking.
+- For the validation query the Spark side reads the SAME parquet, so the
+  check compares two independent implementations of the validation
+  relational logic (DataFrame joins vs SQL) on identical input.
+
+Mirrors the reference's test strategy of asserting graph counts from
+/root/reference/tests/test_manager/true_values.py over a fixed fixture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+
+ORACLE_FILES = 200
+ORACLE_STMTS = 30
+# bump the version segment whenever the corpus generator or the projected
+# columns change — the marker file only guards against partial writes
+ORACLE_BASE = f"/tmp/ebel_spark_oracle_v3/c{ORACLE_FILES}x{ORACLE_STMTS}"
+_MARKER = "_ORACLE_READY"
+
+
+def ensure_oracle_tables(base: str = ORACLE_BASE) -> str:
+    """Build the oracle parquet tables if absent; returns the base dir."""
+    if os.path.exists(os.path.join(base, _MARKER)):
+        return base
+
+    import hashlib
+
+    from .belc.scriptproc import process_file
+    from .corpus import CorpusProfile, corpus_pandas
+    from .namespaces import build_dimensions
+
+    profile = CorpusProfile(n_files=ORACLE_FILES,
+                            statements_per_file=ORACLE_STMTS)
+    src = corpus_pandas(profile)
+
+    st_rows, node_rows, entry_rows, def_rows = [], [], [], []
+    for row in src.itertuples(index=False):
+        sha = hashlib.sha256(row.content.encode()).hexdigest()
+        r = process_file(row.content)
+        if not r["ok"]:
+            continue
+        for s in r["statements"]:
+            st_rows.append({
+                "file_sha": sha, "stmt_idx": s["stmt_idx"],
+                "subject_bel": s["subject_bel"],
+                "subject_class": s["subject_class"],
+                "relation": s["relation"],
+                "relation_category": s["relation_category"],
+                "object_bel": s["object_bel"],
+                "object_class": s["object_class"],
+                "nested": s["nested"],
+                "citation_type": s["citation_type"],
+                "citation_ref": s["citation_ref"],
+                "citation_pub_date": s["citation_pub_date"],
+                "evidence": s["evidence"],
+                "anno_json": json.dumps(s["annotation"], sort_keys=True,
+                                        separators=(",", ":")),
+                "pmid": s["pmid"],
+                "edge_key": s["edge_key"],
+            })
+        for n in r["nodes"]:
+            node_rows.append({
+                "file_sha": sha, "node_class": n["node_class"],
+                "bel": n["bel"], "namespace": n["namespace"],
+                "name": n["name"],
+            })
+        for kind, ents in (("ns", r["ns_entries"]),
+                           ("anno", r["anno_entries"])):
+            for e in ents:
+                entry_rows.append({
+                    "file_sha": sha, "kind": kind, "keyword": e["keyword"],
+                    "entry": e["entry"], "line": e["line"], "col": e["col"],
+                })
+        for d in r["definitions"]:
+            def_rows.append({
+                "file_sha": sha,
+                "kind": "anno" if d["is_annotation"] else "ns",
+                "keyword": d["keyword"], "def_type": d["def_type"],
+                "value": d["value"], "value_list": d["value_list"],
+                "line": d["line"],
+            })
+
+    dims = build_dimensions()
+    os.makedirs(base, exist_ok=True)
+    tables = {
+        "statements": pd.DataFrame(st_rows),
+        "nodes_raw": pd.DataFrame(node_rows),
+        "entries": pd.DataFrame(entry_rows),
+        "defs": pd.DataFrame(def_rows),
+        "ns_dict": dims.namespace_entries,
+        "anno_dict": dims.annotation_entries,
+    }
+    for name, pdf in tables.items():
+        d = os.path.join(base, name)
+        os.makedirs(d, exist_ok=True)
+        # Int64 (nullable) so parquet carries int64-with-nulls, matching the
+        # long columns Spark writes for the same data
+        for c in pdf.columns:
+            if pdf[c].dtype == "float64" and name == "statements":
+                pdf[c] = pdf[c].astype("Int64")
+        pdf.to_parquet(os.path.join(d, "part-0.parquet"), index=False)
+    with open(os.path.join(base, _MARKER), "w") as fd:
+        fd.write("ok")
+    return base

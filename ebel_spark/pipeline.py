@@ -92,11 +92,20 @@ def run_pipeline(
     dedup_source: bool = True,
     run_id: str | None = None,
     intermediate: str = "parquet",
+    repair: bool = False,
+    error_report: str | None = None,
+    path_filter: bool = True,
+    output_format: str = "parquet",
+    catalog: str | None = None,
 ) -> dict:
     """Run the full pipeline; returns a metrics dict."""
     run_id = run_id or uuid.uuid4().hex[:12]
     metrics: dict = {"run_id": run_id, "stages": {}}
     t_total = time.time()
+
+    from . import sinks as S
+    if output_format == "iceberg":
+        S.require_iceberg(spark, catalog)
 
     if dims is None:
         dims = build_dimensions()
@@ -123,7 +132,22 @@ def run_pipeline(
         # NOTE this shuffles the full content column — when source
         # uniqueness is an ingest invariant (Iceberg upsert key, or a
         # synthetic corpus), pass dedup_source=False and skip that shuffle.
+        if path_filter:
+            # reference validate.py:237-249 only accepts `%.bel` paths from
+            # a directory; a mixed-language lakehouse table additionally
+            # carries a lang column.  Both predicates push down to the scan
+            # so non-BEL rows never reach the parse UDF.
+            src = src.filter(
+                F.col("path").endswith(".bel")
+                & (F.col("lang").isNull() | (F.col("lang") == "bel"))
+            )
         src = P.with_file_sha(src)
+        if repair:
+            # sha256 invariant stays on the ORIGINAL content (the row
+            # identity vs the source table); the parser sees the repaired
+            # text, like the reference's repair -> validate flow
+            from . import repair as R
+            src = R.repair_sources(src)
         if dedup_source:
             src = src.dropDuplicates(["file_sha"])
         if resume and _exists(spark, lineage_path):
@@ -211,6 +235,8 @@ def run_pipeline(
         errors.write.mode("overwrite").parquet(os.path.join(out_dir, "errors"))
         errors = spark.read.parquet(os.path.join(out_dir, "errors"))
         metrics["n_errors"] = obs_err.get["n"]
+        if error_report:
+            V.write_error_report(errors, error_report)
 
     # ---- 4. gate files -------------------------------------------------------
     if mode == "strict":
@@ -279,13 +305,12 @@ def run_pipeline(
             F.sum((F.col("relation_category") != "ebel").cast("long"))
             .alias("n_triples"),
         )
-        all_edges.write.mode("overwrite") \
-            .partitionBy("relation_category") \
-            .parquet(os.path.join(out_dir, "edges"))
+        edges_out = S.write_table(
+            spark, all_edges, "edges", out_dir, fmt=output_format,
+            catalog=catalog, partition_by="relation_category")
         eo = obs_edges.get
         metrics["n_triples"] = int(eo["n_triples"] or 0)
         metrics["n_edges"] = int(eo["n_edges"])
-        edges_out = spark.read.parquet(os.path.join(out_dir, "edges"))
 
     with stage("rollup"):
         if involved or species:
@@ -317,12 +342,13 @@ def run_pipeline(
     # ---- 6. write output tables ------------------------------------------------
     with stage("write"):
         obs_nodes = Observation("nodes")
-        nodes.observe(obs_nodes, F.count(F.lit(1)).alias("n")) \
-            .write.mode("overwrite") \
-            .partitionBy("node_class") \
-            .parquet(os.path.join(out_dir, "nodes"))
-        P.documents_table(parsed).write.mode("overwrite") \
-            .parquet(os.path.join(out_dir, "documents"))
+        S.write_table(
+            spark, nodes.observe(obs_nodes, F.count(F.lit(1)).alias("n")),
+            "nodes", out_dir, fmt=output_format, catalog=catalog,
+            partition_by="node_class")
+        S.write_table(
+            spark, P.documents_table(parsed), "documents", out_dir,
+            fmt=output_format, catalog=catalog)
         metrics["n_nodes"] = obs_nodes.get["n"]
 
     metrics["n_valid_files"] = (
@@ -371,6 +397,17 @@ def main(argv=None):
     ap.add_argument("--no-involved", action="store_true")
     ap.add_argument("--no-hints", action="store_true")
     ap.add_argument("--parse-partitions", type=int, default=None)
+    ap.add_argument("--repair", action="store_true",
+                    help="repair snake_cased relations + evidence wrapping "
+                         "before parsing (reference validate.py:141-222)")
+    ap.add_argument("--error-report", default=None,
+                    help="also write a .csv/.tsv/.json/.txt error report")
+    ap.add_argument("--format", choices=["parquet", "iceberg"],
+                    default="parquet",
+                    help="output table format (iceberg needs the runtime "
+                         "jar + a catalog conf, see ebel_spark/sinks.py)")
+    ap.add_argument("--catalog", default=None,
+                    help="Iceberg catalog name for --format iceberg")
     args = ap.parse_args(argv)
 
     from .session import get_spark
@@ -399,6 +436,8 @@ def main(argv=None):
         enrich=not args.no_enrich, involved=not args.no_involved,
         with_hints=not args.no_hints,
         parse_partitions=args.parse_partitions,
+        repair=args.repair, error_report=args.error_report,
+        output_format=args.format, catalog=args.catalog,
     )
     print(json.dumps(metrics))
 

@@ -354,6 +354,48 @@ def value_bucket_range_join(spark, sf_dir):
     )
 
 
+@q("value_nearest_bucket", """
+WITH b AS (SELECT i * 10 AS lo, (i + 1) * 10 AS hi
+           FROM generate_series(0, 9) AS t(i)),
+d AS (
+  SELECT e.event_id, b.lo, b.hi,
+         round(CASE WHEN e.value >= b.lo AND e.value < b.hi THEN 0
+                    ELSE least(abs(e.value - b.lo), abs(e.value - b.hi))
+               END, 2) AS dist
+  FROM events e CROSS JOIN b
+)
+SELECT event_id, lo, hi, dist FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_id ORDER BY dist, lo) AS rn
+  FROM d
+) WHERE rn = 1
+""")
+def value_nearest_bucket(spark, sf_dir):
+    """Nearest-gene mapping analog (odb_meta.py:1309-1363): the containment
+    half is `value_bucket_range_join`; this is the ORDER BY distance LIMIT 1
+    half — broadcast the dimension, min-by-distance window per row.
+    Distances are rounded BEFORE ranking so near-ties agree with the
+    oracle."""
+    e = _t(spark, sf_dir, "events")
+    b = spark.range(0, 10).select(
+        (F.col("id") * 10).alias("lo"),
+        ((F.col("id") + 1) * 10).alias("hi"),
+    )
+    inside = (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    dist = F.round(
+        F.when(inside, F.lit(0.0)).otherwise(
+            F.least(F.abs(F.col("value") - F.col("lo")),
+                    F.abs(F.col("value") - F.col("hi")))), 2)
+    w = Window.partitionBy("event_id").orderBy("dist", "lo")
+    return (
+        e.join(F.broadcast(b))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "lo", "hi", "dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.8 scalar functions: regex/json/hash/math
 # ---------------------------------------------------------------------------
@@ -707,6 +749,209 @@ def bel_validation_errors(spark, sf_dir):
         P.definitions_table(parsed).join(ok, "file_sha", "left_semi"),
         dims["ns_dict"], dims["anno_dict"], with_hints=False)
     return P.syntax_errors_table(parsed).unionByName(sem)
+
+
+# ---------------------------------------------------------------------------
+# BEL pipeline vs DuckDB oracles (VERDICT r1 #4): narrow projections of the
+# parsed corpus are materialized driver-side (ebel_spark/oracle_data.py);
+# the Spark side re-parses distributed / re-runs the DataFrame algebra, the
+# oracle runs plain SQL over the same parquet.  This puts real
+# rows/schema/hash checks on the flagship pipeline instead of `no_oracle`.
+# ---------------------------------------------------------------------------
+
+from .oracle_data import ORACLE_BASE as _OB
+from .oracle_data import ORACLE_FILES as _OF
+from .oracle_data import ORACLE_STMTS as _OS
+from .oracle_data import ensure_oracle_tables as _ensure_oracle
+
+
+def _bel_oracle_parsed(spark):
+    """Distributed parse of the oracle corpus (same deterministic profile
+    the pandas-side oracle tables were built from)."""
+    from .corpus import CorpusProfile, corpus_spark
+    from . import parse as P
+    _ensure_oracle()
+    profile = CorpusProfile(n_files=_OF, statements_per_file=_OS)
+    return P.parse_sources(corpus_spark(spark, profile, partitions=8))
+
+
+@q("bel_relation_counts", f"""
+SELECT relation, relation_category, count(*) AS n_statements
+FROM read_parquet('{_OB}/statements/*.parquet')
+WHERE relation IS NOT NULL AND NOT nested
+GROUP BY relation, relation_category
+""")
+def bel_relation_counts(spark, sf_dir):
+    """Distributed parse + explode vs the pandas-parsed statement table."""
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    return (
+        st.filter(F.col("relation").isNotNull() & ~F.col("nested"))
+        .groupBy("relation", "relation_category")
+        .agg(F.count(F.lit(1)).alias("n_statements"))
+    )
+
+
+@q("bel_edge_dedup_counts", f"""
+SELECT relation, count(DISTINCT edge_key) AS n_edges,
+       count(*) AS n_statements
+FROM read_parquet('{_OB}/statements/*.parquet')
+WHERE edge_key IS NOT NULL AND NOT nested
+GROUP BY relation
+""")
+def bel_edge_dedup_counts(spark, sf_dir):
+    """Salted two-phase edge dedup (graph.py:materialize_edges) vs a plain
+    SQL count(DISTINCT profile-key) over the same statements."""
+    from . import graph as G
+    from . import parse as P
+    parsed = _bel_oracle_parsed(spark)
+    edges = G.materialize_edges(P.statements_table(parsed.filter("ok")))
+    return edges.groupBy("relation").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("n_statements").alias("n_statements"),
+    )
+
+
+@q("bel_node_class_counts", f"""
+SELECT node_class, count(DISTINCT bel) AS n_nodes,
+       count(*) AS n_occurrences
+FROM read_parquet('{_OB}/nodes_raw/*.parquet')
+GROUP BY node_class
+""")
+def bel_node_class_counts(spark, sf_dir):
+    """Node dedup (graph.py:materialize_nodes) vs SQL count(DISTINCT bel)."""
+    from . import graph as G
+    from . import parse as P
+    parsed = _bel_oracle_parsed(spark)
+    nodes = G.materialize_nodes(P.nodes_table(parsed.filter("ok")))
+    return nodes.groupBy("node_class").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("n_occurrences").alias("n_occurrences"),
+    )
+
+
+@q("bel_pub_year_stats", f"""
+SELECT substr(citation_pub_date, 1, 4) AS pub_year,
+       count(*) AS n_statements,
+       count(DISTINCT edge_key) AS n_edges
+FROM read_parquet('{_OB}/statements/*.parquet')
+WHERE citation_pub_date IS NOT NULL
+  AND relation IS NOT NULL AND NOT nested
+GROUP BY pub_year
+""")
+def bel_pub_year_stats(spark, sf_dir):
+    """Publication-year statistics over the real statement/edge table
+    (web/api/ebel/v1/bel.py:1505-1512 analog)."""
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    return (
+        st.filter(F.col("citation_pub_date").isNotNull()
+                  & F.col("relation").isNotNull() & ~F.col("nested"))
+        .groupBy(F.substring("citation_pub_date", 1, 4).alias("pub_year"))
+        .agg(F.count(F.lit(1)).alias("n_statements"),
+             F.countDistinct("edge_key").alias("n_edges"))
+    )
+
+
+@q("bel_annotation_stats", f"""
+SELECT anno_value AS cell, count(*) AS n_statements,
+       count(DISTINCT file_sha) AS n_files
+FROM (
+  SELECT file_sha,
+         unnest(CAST(json_extract(anno_json, '$.Cells') AS VARCHAR[]))
+             AS anno_value
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE relation IS NOT NULL AND NOT nested
+)
+GROUP BY anno_value
+""")
+def bel_annotation_stats(spark, sf_dir):
+    """Annotation-value statistics (MeSH-statistics analog,
+    web/api/ebel/v1/bel.py:579-596): explode one annotation key over the
+    real statement table."""
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    return (
+        st.filter(F.col("relation").isNotNull() & ~F.col("nested"))
+        .select("file_sha",
+                F.explode(F.col("annotation")["Cells"]).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_statements"),
+             F.countDistinct("file_sha").alias("n_files"))
+    )
+
+
+@q("bel_semantic_errors", f"""
+WITH entries AS (SELECT * FROM read_parquet('{_OB}/entries/*.parquet')),
+defs    AS (SELECT * FROM read_parquet('{_OB}/defs/*.parquet')),
+dict AS (
+  SELECT 'ns' AS kind, keyword, name
+  FROM read_parquet('{_OB}/ns_dict/*.parquet')
+  UNION ALL
+  SELECT 'anno' AS kind, keyword, name
+  FROM read_parquet('{_OB}/anno_dict/*.parquet')
+)
+SELECT e.file_sha,
+       CASE WHEN e.kind = 'ns' THEN 'WithoutDefinedNamespace'
+            ELSE 'WithoutDefinedAnnotation' END AS error_class,
+       e.keyword, regexp_replace(e.entry, '[\\n\\r]', '', 'g') AS entry,
+       e.line AS line_number
+FROM entries e
+WHERE NOT EXISTS (SELECT 1 FROM defs d
+                  WHERE d.file_sha = e.file_sha AND d.kind = e.kind
+                    AND d.keyword = e.keyword)
+UNION ALL
+SELECT e.file_sha,
+       CASE WHEN e.kind = 'ns' THEN 'NotInNamespaceUrl'
+            ELSE 'NotInAnnotationUrl' END AS error_class,
+       e.keyword, regexp_replace(e.entry, '[\\n\\r]', '', 'g') AS entry,
+       e.line AS line_number
+FROM entries e
+JOIN defs d ON d.file_sha = e.file_sha AND d.kind = e.kind
+           AND d.keyword = e.keyword AND d.def_type = 'URL'
+WHERE NOT EXISTS (SELECT 1 FROM dict t
+                  WHERE t.kind = e.kind AND t.keyword = e.keyword
+                    AND t.name = e.entry)
+UNION ALL
+SELECT e.file_sha,
+       CASE WHEN e.kind = 'ns' THEN 'NotInNamespaceList'
+            ELSE 'NotInAnnotationList' END AS error_class,
+       e.keyword, regexp_replace(e.entry, '[\\n\\r]', '', 'g') AS entry,
+       e.line AS line_number
+FROM entries e
+JOIN defs d ON d.file_sha = e.file_sha AND d.kind = e.kind
+           AND d.keyword = e.keyword AND d.def_type = 'LIST'
+WHERE NOT list_contains(d.value_list, e.entry)
+UNION ALL
+SELECT e.file_sha,
+       CASE WHEN e.kind = 'ns' THEN 'NotInNamespacePattern'
+            ELSE 'NotInAnnotationPattern' END AS error_class,
+       e.keyword, regexp_replace(e.entry, '[\\n\\r]', '', 'g') AS entry,
+       e.line AS line_number
+FROM entries e
+JOIN defs d ON d.file_sha = e.file_sha AND d.kind = e.kind
+           AND d.keyword = e.keyword AND d.def_type = 'PATTERN'
+WHERE NOT regexp_matches(e.entry, '^' || d.value || '$')
+""")
+def bel_semantic_errors(spark, sf_dir):
+    """The four SQL-expressible validation families (validate.py) run as
+    DataFrame joins over the SAME parquet the oracle SQL reads — two
+    independent implementations of the validation relational logic."""
+    from . import validate as V
+    base = _ensure_oracle()
+    entries = spark.read.parquet(f"{base}/entries")
+    defs = spark.read.parquet(f"{base}/defs")
+    ns_dict = spark.read.parquet(f"{base}/ns_dict")
+    anno_dict = spark.read.parquet(f"{base}/anno_dict")
+    fams = (
+        V.undefined_keyword_errors(entries, defs)
+        .unionByName(V.url_membership_errors(entries, defs, ns_dict,
+                                             anno_dict, with_hints=False))
+        .unionByName(V.list_membership_errors(entries, defs))
+        .unionByName(V.pattern_errors(entries, defs))
+    )
+    return fams.select("file_sha", "error_class", "keyword", "entry",
+                       "line_number")
 
 
 # ---------------------------------------------------------------------------

@@ -48,11 +48,15 @@ SYNTAX_ERROR_T = StructType([
     _f("entry", S), _f("hint", S),
 ])
 
+# NB: no subject_id / object_id / edge_key here — the hash ids are ~60% of
+# the parse stage's Arrow/parquet bytes and are recomputed JVM-side in
+# parse.statements_table via their codegen twins (graph.node_id_col /
+# edge_key_col), keeping the UDF boundary narrow.
 STATEMENT_T = StructType([
     _f("stmt_idx", I),
-    _f("subject_bel", S), _f("subject_class", S), _f("subject_id", S),
+    _f("subject_bel", S), _f("subject_class", S),
     _f("relation", S), _f("relation_category", S),
-    _f("object_bel", S), _f("object_class", S), _f("object_id", S),
+    _f("object_bel", S), _f("object_class", S),
     _f("nested", B),
     _f("citation_type", S), _f("citation_ref", S), _f("citation_title", S),
     _f("citation_pub_date", S), _f("citation_author_list", S),

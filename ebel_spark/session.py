@@ -35,9 +35,12 @@ def get_spark(
     default_mem = f"{max(12, int(cores * 1.5))}g"
     b = SparkSession.builder
     # under spark-submit the master comes from the launch command
-    # (--master yarn / spark://...); only default to local[] when none is set
-    from pyspark import SparkConf
-    if not SparkConf().contains("spark.master"):
+    # (--master yarn / spark://...) and must not be overridden.  SparkConf()
+    # is empty before the JVM gateway starts, so it can't be probed here;
+    # PythonRunner exports PYSPARK_GATEWAY_PORT when (and only when) the
+    # script was launched by spark-submit, so that is the reliable signal.
+    launched_by_spark_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if not launched_by_spark_submit:
         b = b.master(f"local[{cores}]")
     b = (
         b.appName(app_name)

@@ -146,14 +146,17 @@ def url_membership_errors(
     else:
         distinct_misses = misses.select("kind", "keyword", "entry").distinct()
 
-        # 1) exact-name matches under any keyword (models.py:204-212)
+        # 1) exact-name matches under any keyword (models.py:204-212).
+        #    Inner join (BroadcastHashJoin on (kind, entry)); non-matching
+        #    misses must not ride through a left join into the groupBy —
+        #    the final hints frame left-joins the aggregate back anyway.
         exact = distinct_misses.join(
             F.broadcast(dictionary.select(
                 F.col("kind").alias("d_kind"), F.col("keyword").alias("d_kw"),
                 F.col("name").alias("d_name"),
             )),
             (F.col("kind") == F.col("d_kind")) & (F.col("entry") == F.col("d_name")),
-            "left",
+            "inner",
         ).groupBy("kind", "keyword", "entry").agg(
             F.sort_array(F.collect_set(
                 F.concat(F.col("d_kw"), F.lit(':"'), F.col("d_name"), F.lit('"'))
@@ -161,21 +164,32 @@ def url_membership_errors(
         )
 
         # 2) prefix similarity for entries >= 6 chars (models.py:216-229):
-        #    name LIKE entry[:-2]% and len(name) < len(entry)+3, limit 20
+        #    name LIKE entry[:-2]% and len(name) < len(entry)+3, limit 20.
+        #    A raw startswith predicate would plan a BroadcastNestedLoopJoin
+        #    (misses x full dictionary — a scale-killer the day a corpus has
+        #    millions of distinct unknown entries).  Instead: equi-join on a
+        #    fixed 4-char prefix key (valid because entry >= 6 chars means
+        #    the LIKE prefix is >= 4 chars, and any d_name starting with it
+        #    shares its first 4 chars), then post-filter the exact predicate
+        #    inside the hash-bucket — a BroadcastHashJoin.
         pfx = distinct_misses.filter(F.length("entry") >= 6).select(
             "kind", "keyword", "entry",
             F.expr("substring(entry, 1, length(entry) - 2)").alias("pfx"),
             F.length("entry").alias("elen"),
-        )
+        ).withColumn("p4", F.substring("pfx", 1, 4))
         similars = pfx.join(
-            F.broadcast(dictionary.select(
-                F.col("kind").alias("d_kind"), F.col("keyword").alias("d_kw"),
-                F.col("name").alias("d_name"),
-            )),
-            (F.col("kind") == F.col("d_kind"))
-            & F.col("d_name").startswith(F.col("pfx"))
-            & (F.length("d_name") < F.col("elen") + 3),
+            F.broadcast(
+                dictionary.filter(F.length("name") >= 4).select(
+                    F.col("kind").alias("d_kind"),
+                    F.col("keyword").alias("d_kw"),
+                    F.col("name").alias("d_name"),
+                    F.substring("name", 1, 4).alias("d4"),
+                )),
+            (F.col("kind") == F.col("d_kind")) & (F.col("p4") == F.col("d4")),
             "inner",
+        ).filter(
+            F.col("d_name").startswith(F.col("pfx"))
+            & (F.length("d_name") < F.col("elen") + 3)
         )
         w = Window.partitionBy("kind", "keyword", "entry").orderBy("d_kw", "d_name")
         similars = (
@@ -242,6 +256,31 @@ def multiple_definition_report(defs: DataFrame) -> DataFrame:
         .filter(F.col("count") > 1)
         .withColumnRenamed("count", "n_definitions")
     )
+
+
+def write_error_report(errors: DataFrame, path: str) -> str:
+    """Reference-format error report (validate.py:252-354): one file whose
+    format follows the suffix (.csv/.tsv/.json/.txt), columns matching the
+    reference report (error_class, url, keyword, entry, line_number,
+    column, hint) with file_sha prepended (our reports span a corpus, the
+    reference's span one file).
+
+    Driver-side convenience for human-sized reports — the parquet errors
+    table stays the scale path."""
+    pdf = errors.select(*_REPORT_COLS).toPandas()
+    if path.endswith(".csv"):
+        pdf.to_csv(path, index=False)
+    elif path.endswith(".tsv"):
+        pdf.to_csv(path, sep="\t", index=False)
+    elif path.endswith(".json"):
+        pdf.to_json(path, orient="records")
+    elif path.endswith(".txt"):
+        with open(path, "w", encoding="utf-8") as fd:
+            fd.write(pdf.to_string(index=False))
+    else:
+        raise ValueError(f"unsupported report suffix: {path} "
+                         "(use .csv/.tsv/.json/.txt)")
+    return path
 
 
 def semantic_errors(

@@ -29,9 +29,15 @@ EOF
 
 SPARK_SUBMIT="$(python -c 'import pyspark, os; print(os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit"))')"
 
+# driver memory must be set on the submit command line: once the JVM is up,
+# in-app spark.driver.memory / -Xms configs are silently ignored
+DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}"
+
 exec "$SPARK_SUBMIT" \
     --master "$MASTER" \
     --py-files "$ZIP" \
+    --driver-memory "$DRIVER_MEM" \
+    --conf "spark.driver.extraJavaOptions=-Dlog4j2.level=error -Xms$DRIVER_MEM" \
     --conf spark.sql.adaptive.enabled=true \
     --conf spark.sql.adaptive.skewJoin.enabled=true \
     --conf spark.sql.execution.arrow.pyspark.enabled=true \

@@ -64,6 +64,23 @@ class TestReferenceOracles:
         assert ("FIXME", "LIST") in defs
 
 
+class TestLineContinuations:
+    """Backslash continuations under all three newline conventions
+    (reference parser.py:251 accepts \\n, \\r\\n and lone \\r)."""
+
+    BODY = ('SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE HGNC AS URL "http://x/h.belns"\n'
+            'SET Citation = {"PubMed", "T", "1"}\n')
+
+    @pytest.mark.parametrize("nl", ["\n", "\r\n", "\r"])
+    def test_continuation_newline_styles(self, nl):
+        stmt = f'p(HGNC:A) \\{nl}  increases p(HGNC:B)\n'
+        r = process_file(self.BODY + stmt)
+        assert r["ok"], r["syntax_errors"]
+        assert len(r["statements"]) == 1
+        assert r["statements"][0]["relation"] == "increases"
+
+
 class TestCanonicalBel:
     """Canonical strings per importer.py:433-490 semantics."""
 

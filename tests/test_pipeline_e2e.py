@@ -60,6 +60,58 @@ class TestPipelineE2E:
         )
         assert dangling == 0
 
+    def test_path_filter_excludes_non_bel(self, spark, tmp_path):
+        """Mixed-language source: %.bel + lang guard must exclude non-BEL
+        rows BEFORE the parse UDF (reference validate.py:237-249)."""
+        profile = CorpusProfile(n_files=6, statements_per_file=10)
+        bel = corpus_spark(spark, profile, partitions=2)
+        other = bel.limit(2).select(
+            "repo",
+            F.regexp_replace("path", r"\.bel$", ".py").alias("path"),
+            "commit", F.lit("python").alias("lang"),
+            F.lit("import os  # not BEL at all").alias("content"),
+        )
+        src = bel.unionByName(other)
+        out_dir = str(tmp_path / "mixed")
+        m = run_pipeline(spark, src, out_dir, run_id="mix")
+        assert m["n_files"] == 6  # the 2 non-BEL rows never reached parse
+        lineage = spark.read.parquet(out_dir + "/lineage")
+        assert lineage.filter(~F.col("path").endswith(".bel")).count() == 0
+
+    def test_error_report_file(self, spark, out, tmp_path):
+        from ebel_spark import validate as V
+        errors = spark.read.parquet(out["dir"] + "/errors")
+        path = str(tmp_path / "report.csv")
+        V.write_error_report(errors, path)
+        import pandas as pd
+        pdf = pd.read_csv(path)
+        assert list(pdf.columns) == [
+            "file_sha", "error_class", "url", "keyword", "entry",
+            "line_number", "column", "hint"]
+        assert len(pdf) == out["metrics"]["n_errors"]
+
+    def test_repair_flag_end_to_end(self, spark, tmp_path):
+        """A corpus whose statements use snake_cased relations parses clean
+        only with repair=True."""
+        import hashlib
+        content = (
+            'SET DOCUMENT Name = "r"\n'
+            'DEFINE NAMESPACE HGNC AS URL "https://example.org/ns/hgnc.belns"\n'
+            'SET Citation = {"PubMed", "T", "1"}\n'
+            "p(HGNC:TNF) directly_increases p(HGNC:AKT1)\n"
+        )
+        src = spark.createDataFrame(
+            [("r", "a.bel", hashlib.sha1(b"x").hexdigest(), "bel", content)],
+            "repo string, path string, commit string, lang string, content string",
+        )
+        out_dir = str(tmp_path / "rep")
+        m = run_pipeline(spark, src, out_dir, run_id="rep", repair=True,
+                         enrich=False, involved=False, species=False)
+        assert m["n_valid_files"] == 1
+        assert m["n_triples"] >= 1
+        # invariant still holds on the ORIGINAL content
+        assert verify_invariant(spark, src, out_dir) == 0
+
     def test_hot_gene_skew_present(self, spark, out):
         """The corpus must be skewed (hot HGNC keys) so the salted
         aggregation path is actually exercised."""

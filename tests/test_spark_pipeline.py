@@ -99,6 +99,39 @@ class TestGraphCounts:
         edge_counts = G.count_edges_by_class(all_edges)
         assert edge_counts == tv.EDGES_EXTENSION
 
+    def test_jvm_id_twins_match_python(self, spark):
+        """statements_table recomputes subject_id/object_id/edge_key with
+        the JVM sha256 twins; they must equal the compiler's own ids
+        (process_file with emit_ids=True) byte for byte — incl. the sorted
+        annotation encoding."""
+        from ebel_spark.belc.scriptproc import process_file
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE HGNC AS URL "http://x/h.belns"\n'
+            'DEFINE ANNOTATION Cells AS LIST {"a1", "b2", "c3"}\n'
+            'DEFINE ANNOTATION Zone AS LIST {"z1", "z2"}\n'
+            'SET Citation = {"PubMed", "T", "11111"}\n'
+            'SET Evidence = "ev text"\n'
+            'SET Zone = {"z2", "z1"}\n'
+            'SET Cells = "b2"\n'
+            'p(HGNC:A) increases p(HGNC:B)\n'
+            'UNSET Cells\n'
+            'p(HGNC:C) decreases p(HGNC:D)\n'
+            'p(HGNC:E)\n'
+        )
+        got = {
+            (r.stmt_idx): (r.subject_id, r.object_id, r.edge_key)
+            for r in P.statements_table(
+                P.parse_sources(_source_df(spark, [bel]))).collect()
+        }
+        want = {
+            s["stmt_idx"]: (s["subject_id"], s["object_id"], s["edge_key"])
+            for s in process_file(bel, emit_ids=True)["statements"]
+        }
+        assert got == want
+        assert any(v[2] is not None for v in want.values())
+        assert any(v[2] is None for v in want.values())  # subject-only row
+
     def test_edge_dedup_merges_documents(self, spark):
         bel = (
             'SET DOCUMENT Name = "t"\n'
@@ -136,6 +169,11 @@ class TestGraphCounts:
         assert rows['p(HGNC:"T9",pmod(Ph))'].has_modifiers
         assert not rows['p(HGNC:"F1")'].has_modifiers
 
+        # involved_rollup skips a distinct() on the invariant that the
+        # structural closure never contains a self pair; guard it here
+        closure = G.descendant_closure(struct, G.INVOLVED_GENES_EDGES)
+        assert closure.filter("root = nid").count() == 0
+
         inv = {r.node_id: r for r in
                G.involved_rollup(nodes, struct).collect()}
         cplx = rows['complex(a(CHEBI:"atp"),p(HGNC:"F1"),p(HGNC:"F2"))']
@@ -152,6 +190,7 @@ class TestGraphCounts:
             'SET Citation = {"PubMed", "T", "1"}\n'
             'g(HGNC:AKT1) orthologous g(MGI:Akt1)\n'
             'complex(p(HGNC:F1), p(HGNC:F2)) increases p(HGNC:T9)\n'
+            'complex(p(MGI:Akt1), p(MGI:Trp53)) decreases p(MGI:Mapt)\n'
         )
         src = _source_df(spark, [bel])
         parsed = P.parse_sources(src)
@@ -164,6 +203,14 @@ class TestGraphCounts:
         assert sp[byb['g(HGNC:"AKT1")']] == 9606
         assert sp[byb['g(MGI:"Akt1")']] == 10090
         assert sp[byb['complex(p(HGNC:"F1"),p(HGNC:"F2"))']] == 9606
+        # inferred unique-descendant rule, non-human branch: were the merge
+        # a plain max() over taxids a human tag could never be overridden,
+        # but the reference precedence is direct-rule-first (coalesce).
+        # NB genuine direct-vs-inferred disagreement is structurally
+        # impossible (the closure's self pair puts the node's own namespace
+        # in the descendant set), so direct-first is asserted by shape:
+        # the mouse complex gets the inferred mouse taxid.
+        assert sp[byb['complex(p(MGI:"Akt1"),p(MGI:"Trp53"))']] == 10090
 
 
 class TestValidation:
@@ -279,6 +326,12 @@ class TestLinking:
 
         gene = rows[("gene", "CD33")]
         assert gene.location is not None
+        # chromosome-location parser (reference hgnc.py:239-253): the
+        # synthetic dims use '19q13.43'-style locations
+        ls = gene.location_struct
+        assert ls is not None and ls.chromosome is not None
+        if ls.unknown_schema is None and ls.arm is not None:
+            assert ls.arm in ("p", "q") and ls.region is not None
 
         atp = rows[("abundance", "ATP")]
         assert atp.chebi is not None
