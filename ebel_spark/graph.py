@@ -131,40 +131,46 @@ def materialize_edges(statements_tbl: DataFrame, n_salts: int = 16) -> DataFrame
     st = statements_tbl.filter(
         F.col("edge_key").isNotNull() & ~F.col("nested")
     )
-    # NARROW salted two-phase aggregation for the document sets only: the
-    # wide payload columns must not ride through two sort-aggregates
-    # (the 7-tuple profile means payloads are identical per key anyway,
-    # modulo optional citation extras where first-writer-wins like the
-    # reference cache, importer.py:345-351)
-    docs = st.select("edge_key", "file_sha")
-    salted = docs.withColumn(
+    # ONE scan of the statements: the payload columns ride through the
+    # salted two-phase aggregation via first() (identical per key by the
+    # 7-tuple profile, modulo optional citation extras where
+    # first-writer-wins matches the reference cache, importer.py:345-351).
+    # The previous shape — a narrow docs aggregation joined back to a
+    # dropDuplicates payload — scanned + exploded + re-hashed the nested
+    # statements column TWICE and shuffled three times; measured 2x the
+    # CPU of this single-pass plan at bench scale.
+    # annotation map -> json string through the agg buffers: a Map column
+    # in an aggregation buffer forces SortAggregate; strings keep it
+    # hash-based.
+    payload_cols = [
+        "relation", "relation_category", "subject_id",
+        "subject_bel", "subject_class", "object_id", "object_bel",
+        "object_class", "citation_type", "citation_ref", "citation_title",
+        "citation_pub_date", "citation_author_list", "citation_comment",
+        "evidence", "annotation_json", "pmid",
+    ]
+    salted = st.withColumn(
+        "annotation_json", F.to_json("annotation")
+    ).withColumn(
         "salt", F.pmod(F.xxhash64("file_sha"), F.lit(n_salts))
     )
     phase1 = salted.groupBy("edge_key", "salt").agg(
+        *[F.first(c).alias(c) for c in payload_cols],
         F.collect_set("file_sha").alias("doc_part"),
         F.count(F.lit(1)).alias("cnt"),
     )
     phase2 = phase1.groupBy("edge_key").agg(
+        *[F.first(c).alias(c) for c in payload_cols],
         F.array_sort(
             F.array_distinct(F.flatten(F.collect_list("doc_part")))
         ).alias("document_ids"),
         F.sum("cnt").alias("n_statements"),
     )
-    # annotation map -> json string around the dedup: a Map column in the
-    # aggregation buffer forces SortAggregate; strings keep it hash-based
-    payload = st.select(
-        "edge_key", "relation", "relation_category", "subject_id",
-        "subject_bel", "subject_class", "object_id", "object_bel",
-        "object_class", "citation_type", "citation_ref", "citation_title",
-        "citation_pub_date", "citation_author_list", "citation_comment",
-        "evidence", F.to_json("annotation").alias("annotation_json"), "pmid",
-    ).dropDuplicates(["edge_key"])
-    payload = payload.withColumn(
-        "annotation",
-        F.from_json("annotation_json", "map<string,array<string>>"),
-    ).drop("annotation_json")
     return (
-        payload.join(phase2, "edge_key")
+        phase2
+        .withColumn(
+            "annotation",
+            F.from_json("annotation_json", "map<string,array<string>>"))
         .withColumn("evidence", F.regexp_replace("evidence", "\n", " "))
         .withColumn(
             "citation",

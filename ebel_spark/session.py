@@ -55,7 +55,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # dimension tables here are all << 16 MB; a bigger threshold tempts
+        # AQE into broadcasting million-row fact-side aggregates (driver
+        # hash-table build + per-core copies — measured 5x slowdown on the
+        # edge-dedup join).  Explicit F.broadcast() still overrides for
+        # any genuinely big dimension.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEM", default_mem))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
