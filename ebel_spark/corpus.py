@@ -167,6 +167,13 @@ def make_bel_file(file_id: int, v: _Vocab, p: CorpusProfile) -> str:
     lines.append('DEFINE NAMESPACE dbSNP AS PATTERN "rs[0-9]+"')
     lines.append(
         'DEFINE ANNOTATION Cells AS LIST {"astrocyte", "microglia", "neuron"}')
+    if file_id % 17 == 0:
+        # a repeated definition so the multiple-definition warning family
+        # has real data (identical value list -> semantics unchanged);
+        # deterministic branch keeps the rng stream identical either way
+        lines.append(
+            'DEFINE ANNOTATION Cells AS LIST '
+            '{"astrocyte", "microglia", "neuron"}')
     lines.append('DEFINE ANNOTATION Tissue AS URL '
                  '"https://example.org/anno/tissue.belanno"')
     lines.append("")
@@ -220,6 +227,17 @@ def make_bel_file(file_id: int, v: _Vocab, p: CorpusProfile) -> str:
                 lines.append(f"{subj} {rel} {obj}")
         if rng.random() < 0.5:
             lines.append("UNSET Cells")
+        lines.append("")
+    if file_id % 13 == 0:
+        # an orthologous pair whose MGI symbol is the title-cased HGNC one:
+        # the same lower-cased entry under two namespace keywords, feeding
+        # the AlsoUsedInOtherNamespace warning family with real rows
+        # (deterministic branch: rng stream unchanged)
+        hot = v.hot_genes[file_id % len(v.hot_genes)]
+        lines.append('SET Citation = {"PubMed", "Ortho", "99%05d"}'
+                     % (file_id % 100000))
+        lines.append(f"g(HGNC:{_q(hot)}) orthologous "
+                     f"g(MGI:{_q(hot.title())})")
         lines.append("")
     return "\n".join(lines) + "\n"
 

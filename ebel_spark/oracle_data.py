@@ -31,7 +31,7 @@ ORACLE_FILES = 200
 ORACLE_STMTS = 30
 # bump the version segment whenever the corpus generator or the projected
 # columns change — the marker file only guards against partial writes
-ORACLE_BASE = f"/tmp/ebel_spark_oracle_v3/c{ORACLE_FILES}x{ORACLE_STMTS}"
+ORACLE_BASE = f"/tmp/ebel_spark_oracle_v5/c{ORACLE_FILES}x{ORACLE_STMTS}"
 _MARKER = "_ORACLE_READY"
 
 

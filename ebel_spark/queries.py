@@ -327,6 +327,55 @@ def user_sessions(spark, sf_dir):
     )
 
 
+@q("stream_user_sessions", """
+WITH g AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+), agg AS (
+  SELECT user_id, sid, min(t) AS session_start, max(t) AS session_end,
+         count(*) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg
+WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+""")
+def stream_user_sessions(spark, sf_dir):
+    """Custom stateful STREAMING operator (applyInPandasWithState) checked
+    against ANSI SQL: one availableNow pass over the events table emits
+    every gap-closed session — i.e. the batch sessionization minus each
+    user's final still-open session (which stays in the state store).
+    Watermark is set far out so no timeout flush fires, keeping the
+    emitted set deterministic."""
+    import tempfile
+    import uuid
+
+    from .streaming import stream_user_sessions as S
+
+    events = _t(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sessions = S(stream, gap=1800, watermark="365 days")
+    sink = f"sess_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
+    q = (sessions.writeStream.format("memory").queryName(sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # §2.4 range join (SNP position -> gene, odb_meta.py:1309-1363)
 # ---------------------------------------------------------------------------
@@ -879,6 +928,44 @@ def bel_annotation_stats(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_statements"),
              F.countDistinct("file_sha").alias("n_files"))
     )
+
+
+@q("bel_ambiguity_warnings", f"""
+WITH ns AS (
+  SELECT * FROM read_parquet('{_OB}/entries/*.parquet') WHERE kind = 'ns'
+),
+amb AS (
+  SELECT file_sha, lower(entry) AS lentry
+  FROM ns GROUP BY file_sha, lower(entry)
+  HAVING count(DISTINCT keyword) > 1
+)
+SELECT n.file_sha, n.keyword, n.entry, n.line AS line_number
+FROM ns n
+JOIN amb a ON a.file_sha = n.file_sha AND a.lentry = lower(n.entry)
+""")
+def bel_ambiguity_warnings(spark, sf_dir):
+    """AlsoUsedInOtherNamespace warning family (transformers.py:913-957)
+    vs a SQL twin over the same entries parquet."""
+    from . import validate as V
+    base = _ensure_oracle()
+    entries = spark.read.parquet(f"{base}/entries")
+    return V.ambiguity_warnings(entries).select(
+        "file_sha", "keyword", "entry", "line_number")
+
+
+@q("bel_multiple_definitions", f"""
+SELECT file_sha, kind, keyword, count(*) AS n_definitions
+FROM read_parquet('{_OB}/defs/*.parquet')
+GROUP BY file_sha, kind, keyword
+HAVING count(*) > 1
+""")
+def bel_multiple_definitions(spark, sf_dir):
+    """Multiple-definition warning family (transformers.py:1231-1255);
+    the corpus injects a duplicate Cells definition in every 17th file."""
+    from . import validate as V
+    base = _ensure_oracle()
+    defs = spark.read.parquet(f"{base}/defs")
+    return V.multiple_definition_report(defs)
 
 
 @q("bel_semantic_errors", f"""

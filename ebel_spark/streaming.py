@@ -58,6 +58,82 @@ def stream_sources(
     return writer.start()
 
 
+def stream_user_sessions(
+    events_stream: DataFrame,
+    gap: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful operator (`applyInPandasWithState`): per-user
+    sessionization with a `gap`-second inactivity split — the streaming
+    twin of the batch `user_sessions` window query.
+
+    Per user, an open session lives in the state store as (start, last,
+    n).  A session is emitted when a later event splits it (gap exceeded)
+    or when the event-time watermark passes last+gap (timeout flush).
+    Timestamps are emitted as epoch seconds so the output is directly
+    SQL-comparable.  Exactly the semantics a plain window query computes
+    in batch, minus each user's final still-open session.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("user_id bigint, session_start bigint, "
+                  "session_end bigint, n_events bigint")
+    state_schema = "start bigint, last bigint, n bigint"
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n = state.get
+                closed.append((user_id, s, last, n))
+            state.remove()
+        else:
+            ts: list[int] = []
+            for pdf in pdfs:
+                ts.extend(int(t) // 10**9
+                          for t in pdf["ts"].astype("int64"))
+            ts.sort()
+            if state.exists:
+                s, last, n = state.get
+            else:
+                s = last = None
+                n = 0
+            for t in ts:
+                if s is None:
+                    s = last = t
+                    n = 1
+                elif t - last > gap:
+                    closed.append((user_id, s, last, n))
+                    s = last = t
+                    n = 1
+                else:
+                    last = t
+                    n += 1
+            if s is not None:
+                state.update((s, last, n))
+                # flush the open session once the watermark passes its gap
+                state.setTimeoutTimestamp(
+                    max((last + gap) * 1000,
+                        state.getCurrentWatermarkMs() + 1))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end",
+                         "n_events"])
+
+    return (
+        events_stream
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout)
+    )
+
+
 def stream_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -70,3 +70,44 @@ class TestStreaming:
         }
         assert got == expect
         _ = out_dir
+
+    def test_stateful_sessions_with_timeout_flush(self, spark, tmp_path):
+        """applyInPandasWithState sessionization: gap-split emission within
+        a trigger, then timeout flush when a later trigger's watermark
+        passes the open session's gap."""
+        import time
+        import pandas as pd
+        from ebel_spark.streaming import stream_user_sessions
+
+        src = str(tmp_path / "ev")
+        sch = "user_id bigint, ts timestamp, event_id bigint"
+        f1 = pd.DataFrame({
+            "user_id": [1, 1, 1, 2],
+            "ts": pd.to_datetime([1000, 1010, 6000, 1000], unit="s"),
+            "event_id": [1, 2, 3, 4],
+        })
+        spark.createDataFrame(f1, sch).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        time.sleep(1.1)  # file-source processes files in mtime order
+        f2 = pd.DataFrame({
+            "user_id": [3],
+            "ts": pd.to_datetime([500000], unit="s"),
+            "event_id": [5],
+        })
+        spark.createDataFrame(f2, sch).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        sessions = stream_user_sessions(stream, gap=1800, watermark="1 hour")
+        q = (sessions.writeStream.format("memory").queryName("sess_t")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+               for r in spark.table("sess_t").collect()}
+        # u1: (1000,1010) closed by the 6000 event inside trigger 1;
+        # u1 (6000) and u2 (1000) flushed by trigger 2's watermark
+        # (500000 - 3600 >> last+gap); u3's session stays open.
+        assert got == {(1, 1000, 1010, 2), (1, 6000, 6000, 1),
+                       (2, 1000, 1000, 1)}
