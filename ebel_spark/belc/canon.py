@@ -67,8 +67,20 @@ def _bel_string(params: list, function_name: Optional[str]) -> str:
     return joined
 
 
-def bel_string(obj: list, parent_function: Optional[str] = None) -> str:
-    """Rebuild the canonical short-form BEL string from an IR term."""
+def bel_string(obj: list, parent_function: Optional[str] = None,
+               memo: Optional[dict] = None) -> str:
+    """Rebuild the canonical short-form BEL string from an IR term.
+
+    ``memo`` (keyed by (id(term), parent_function)) collapses the repeated
+    recomputation of nested sub-term strings — extract_nodes and the
+    statement assembly both stringify every level of the same live term
+    tree, ~10 calls per statement without it.  Callers must keep the term
+    objects alive for the memo's lifetime (true within process_file)."""
+    if memo is not None:
+        key = (id(obj), parent_function)
+        cached = memo.get(key)
+        if cached is not None:
+            return cached
     params: list = []
     function_name: Optional[str] = None
     for element in obj:
@@ -78,10 +90,13 @@ def bel_string(obj: list, parent_function: Optional[str] = None) -> str:
             else:
                 params.append(element)
         elif isinstance(element, list):
-            params.append(bel_string(element, function_name))
+            params.append(bel_string(element, function_name, memo))
         # bare strings (fusion leg labels "gene1" etc.) are skipped,
         # matching the reference's get_bel
-    return _bel_string(params, parent_function)
+    res = _bel_string(params, parent_function)
+    if memo is not None:
+        memo[key] = res
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -100,6 +115,7 @@ def extract_nodes(
     nodes: list,
     child_edges: list,
     materialize_modifiers: bool = False,
+    memo: Optional[dict] = None,
 ) -> tuple[str, str]:
     """Recursively flatten an IR term into node rows + has__<class> edges.
 
@@ -113,7 +129,7 @@ def extract_nodes(
     """
     cls = term[0]["function"]["name"]
     node_class = {"variant": "variant", "fragment": "fragment"}.get(cls, cls)
-    bel = bel_string(term)
+    bel = bel_string(term, memo=memo)
     nid = node_id(node_class, bel)
 
     params: dict = {}
@@ -126,7 +142,8 @@ def extract_nodes(
         elif isinstance(e, list):
             if _is_function(e[0]) if e else False:
                 children.append(
-                    extract_nodes(e, nodes, child_edges, materialize_modifiers)
+                    extract_nodes(e, nodes, child_edges,
+                                  materialize_modifiers, memo)
                 )
             else:
                 # list of sub-entries: complex_list member list, changes list,
@@ -140,7 +157,7 @@ def extract_nodes(
                                 continue
                         children.append(
                             extract_nodes(f, nodes, child_edges,
-                                          materialize_modifiers)
+                                          materialize_modifiers, memo)
                         )
 
     namespace = params.get("namespace") or None

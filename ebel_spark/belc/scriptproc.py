@@ -31,6 +31,9 @@ def process_file(
     statements: list[dict] = []
     nodes_raw: list[tuple] = []
     child_edges_raw: list[tuple] = []
+    # per-file bel_string memo: extraction + statement assembly stringify
+    # every level of the same live term trees (~10 calls/statement)
+    memo: dict = {}
 
     if res.ok:
         for st in fold_statements(res.statements_and_sets):
@@ -38,8 +41,9 @@ def process_file(
             subject_class = subject_bel = subject_id = None
             if subj is not None:
                 subject_class, subject_id = extract_nodes(
-                    subj, nodes_raw, child_edges_raw, materialize_modifiers)
-                subject_bel = bel_string(subj)
+                    subj, nodes_raw, child_edges_raw, materialize_modifiers,
+                    memo)
+                subject_bel = bel_string(subj, memo=memo)
 
             obj = st["object"]
             object_class = object_bel = object_id = None
@@ -47,8 +51,9 @@ def process_file(
             edge_key = None
             if obj is not None and relation is not None:
                 object_class, object_id = extract_nodes(
-                    obj, nodes_raw, child_edges_raw, materialize_modifiers)
-                object_bel = bel_string(obj)
+                    obj, nodes_raw, child_edges_raw, materialize_modifiers,
+                    memo)
+                object_bel = bel_string(obj, memo=memo)
                 if emit_ids:
                     edge_key = edge_profile(
                         relation, subject_id, object_id,

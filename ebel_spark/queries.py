@@ -1133,4 +1133,7 @@ def queries() -> dict:
 
 
 def oracle_sql() -> dict:
+    # the bel_* oracles read driver-side parquet projections; build them
+    # here too so the SQL works no matter which side the driver runs first
+    _ensure_oracle()
     return {name: sql for name, (_, sql) in QUERIES.items() if sql}
