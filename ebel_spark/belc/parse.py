@@ -226,6 +226,21 @@ class BelScriptParser:
                 if entry_line == 1 and not self.r.document:
                     # keep section state permissive after an early error
                     pass
+            except RecursionError:
+                # adversarially deep term nesting (e.g. 1500 nested
+                # complex()) must degrade to a per-line syntax error, not
+                # kill the Spark task: at 10^12 files pathological inputs
+                # are a certainty and a repeated task failure aborts the
+                # whole job
+                s.skip_to_next_logical_line()
+                self.r.syntax_errors.append({
+                    "error_class": "BelSyntaxError_unexpected_token",
+                    "line": s.line,
+                    "column": 1,
+                    "entry": "",
+                    "hint": "term nesting exceeds the supported depth",
+                })
+                s.consume_eol()
         return self.r
 
     # ---- entry dispatch ----------------------------------------------------

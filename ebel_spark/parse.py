@@ -43,12 +43,29 @@ def _make_parser(materialize_modifiers: bool, keep_ir: bool):
                 sub = pdf.iloc[s:s + _PARSE_CHUNK]
                 out: dict[str, list] = {c: [] for c in cols}
                 for row in sub.itertuples(index=False):
-                    r = process_file(
-                        row.content or "",
-                        materialize_modifiers=materialize_modifiers,
-                        keep_ir=keep_ir,
-                        emit_ids=False,  # recomputed JVM-side, see schemas
-                    )
+                    try:
+                        r = process_file(
+                            row.content or "",
+                            materialize_modifiers=materialize_modifiers,
+                            keep_ir=keep_ir,
+                            emit_ids=False,  # recomputed JVM-side
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        # ultimate containment: ONE pathological file must
+                        # never fail the task (4 retries would then abort
+                        # the whole job at 10^12-file scale); it degrades
+                        # to a lineage-visible error row instead
+                        r = {
+                            "ok": False, "document": {}, "definitions": [],
+                            "ns_entries": [], "anno_entries": [],
+                            "syntax_errors": [{
+                                "error_class": "InternalParserError",
+                                "line": 0, "column": 0, "entry": "",
+                                "hint": f"{type(exc).__name__}: {exc}"[:500],
+                            }],
+                            "statements": [], "nodes": [],
+                            "child_edges": [], "ir_json": None,
+                        }
                     out["file_sha"].append(row.file_sha)
                     out["repo"].append(row.repo)
                     out["path"].append(row.path)
