@@ -21,7 +21,8 @@ from pyspark.sql.window import Window
 from .ops import dedup as D
 from .ops import text as T
 from .ops import vectors as X
-from .ops.multimodal import extract_features, frame_sample_plan, synth_assets
+from .ops.multimodal import (extract_features, frame_sample_plan,
+                             resize_spec, synth_assets)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -751,6 +752,27 @@ def video_frame_plan(spark, sf_dir):
                         lambda c: c.cast("bigint").cast("string")),
             ",").alias("frame_offsets_ms"),
     )
+
+
+@q("image_resize_spec", """
+SELECT doc_id AS asset_id,
+       CAST((doc_id % 64 + 1) * 16 AS INT) AS width,
+       CAST((doc_id % 48 + 1) * 16 AS INT) AS height,
+       CAST(round((doc_id % 64 + 1) * 16
+                  * (224.0 / least((doc_id % 64 + 1) * 16,
+                                   (doc_id % 48 + 1) * 16))) AS INT)
+           AS new_width,
+       CAST(round((doc_id % 48 + 1) * 16
+                  * (224.0 / least((doc_id % 64 + 1) * 16,
+                                   (doc_id % 48 + 1) * 16))) AS INT)
+           AS new_height
+FROM documents WHERE doc_id % 3 = 0
+""")
+def image_resize_spec(spark, sf_dir):
+    """Aspect-preserving resize plan for image assets (multimodal resize
+    arithmetic, JVM-side) vs the same arithmetic in SQL."""
+    d = _tw(spark, sf_dir, "documents")
+    return resize_spec(synth_assets(d), target=224)
 
 
 # ---------------------------------------------------------------------------
