@@ -197,6 +197,99 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, nodes: DataFrame | None = None,
+    a: str = "a", b: str = "b", max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the minimum node id of its connected component.
+
+    Input: an undirected pair table (one row per edge, any orientation) as
+    produced by the *_pairs operators above; optionally a `nodes` DataFrame
+    (single column) so isolated nodes appear as singleton clusters.
+
+    Algorithm: min-label propagation fused with pointer jumping (path
+    halving).  Each round does (1) label(v) := min(label(v), min over
+    neighbors' labels) — one shuffle join + partial-agg groupBy — and
+    (2) label(v) := label(label(v)) — one self-join.  Pointer jumping makes
+    long chains converge in O(log n) rounds instead of O(diameter), which is
+    the property that matters at 10^12-node scale (cf. the Hash-to-Min /
+    two-phase CC MapReduce algorithms); near-dup graphs are usually
+    shallow, so typical runs take 2-4 rounds.  Lineage is truncated with
+    localCheckpoint every round so the plan stays O(1) deep.
+    """
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct()
+    if nodes is not None:
+        node_ids = nodes.select(F.col(nodes.columns[0]).alias("id"))
+        labels = labels.union(node_ids).distinct()
+    labels = labels.withColumn("label", F.col("id")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # (1) pull the min label across each node's neighborhood
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "v"), "v")
+            .select(F.col("u").alias("id"), "label")
+        )
+        new = (
+            labels.select("id", "label").union(nbr)
+            .groupBy("id").agg(F.min("label").alias("label"))
+        )
+        # (2) pointer jumping: label(id) := label(label(id))
+        hop = new.select(F.col("id").alias("label"),
+                         F.col("label").alias("label2"))
+        new = (
+            new.join(hop, "label", "left")
+            .select("id", F.coalesce("label2", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "id")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str, order_col,
+    a: str = "a", b: str = "b",
+) -> DataFrame:
+    """Cluster near-duplicate documents and pick one representative each.
+
+    Returns (id, cluster_id, cluster_size, is_rep): cluster_id is the min
+    member id, cluster_size the component size, and is_rep marks the row
+    that survives dedup — the member with the greatest `order_col` value
+    (ties break toward the smaller id), e.g. the longest text."""
+    from pyspark.sql.window import Window
+
+    cc = connected_components(pairs, df.select(id_col), a=a, b=b)
+    sized = cc.join(
+        cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size")),
+        "cluster_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_rep_order").desc(), F.col("id").asc())
+    return (
+        sized.join(df.select(F.col(id_col).alias("id"),
+                             order_col.alias("_rep_order")), "id")
+        .withColumn("is_rep", F.row_number().over(w) == 1)
+        .select("id", "cluster_id", "cluster_size", "is_rep")
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard with rare-shingle blocking
 # ---------------------------------------------------------------------------
 

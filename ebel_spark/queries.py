@@ -629,6 +629,107 @@ def doc_ngram_jaccard_pairs(spark, sf_dir):
                                  threshold=0.5, max_df=1000)
 
 
+@q("doc_dup_clusters", """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct(list_transform(range(len(ts) - 2),
+             i -> array_to_string(ts[i+1:i+3], ' ')))
+         WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+         ELSE [] END AS sh
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+), cc AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+), sized AS (
+  SELECT id, cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+  FROM cc
+)
+SELECT s.id, s.cluster_id, s.cluster_size,
+       row_number() OVER (PARTITION BY s.cluster_id
+                          ORDER BY length(d.text) DESC, s.id ASC) = 1
+         AS is_rep
+FROM sized s JOIN documents d ON d.doc_id = s.id
+""")
+def doc_dup_clusters(spark, sf_dir):
+    """Near-dup clustering: n-gram-Jaccard pairs -> connected components
+    (min-label + pointer jumping) -> longest-text representative per
+    cluster.  The canonical post-pair-generation dedup step (cf. the
+    reference's duplicate-edge doc-merge, importer.py:336-356, lifted to
+    document granularity)."""
+    d = _tw(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3,
+                                  threshold=0.5, max_df=1000)
+    return D.dup_clusters(d, pairs, "doc_id", F.length("text"))
+
+
+@q("doc_lang_quality", """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, ts,
+         CASE WHEN len(ts) > 0 THEN list_max([
+           {'score': len(list_filter(ts, t -> list_contains(
+              ['der','die','das','und','ist','nicht','ein','mit','auf','für'],
+              t))) * 1.0 / len(ts), 'lang': 'de'},
+           {'score': len(list_filter(ts, t -> list_contains(
+              ['the','and','of','to','in','is','that','it','for','was'],
+              t))) * 1.0 / len(ts), 'lang': 'en'},
+           {'score': len(list_filter(ts, t -> list_contains(
+              ['el','la','los','las','es','un','una','en','por','para'],
+              t))) * 1.0 / len(ts), 'lang': 'es'},
+           {'score': len(list_filter(ts, t -> list_contains(
+              ['le','la','les','et','est','un','une','des','dans','pour'],
+              t))) * 1.0 / len(ts), 'lang': 'fr'}])
+         ELSE {'score': 0.0, 'lang': 'fr'} END AS best
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN best.score >= 0.02 THEN best.lang
+            ELSE 'unknown' END AS lang_pred,
+       round(
+         0.4 * least(len(ts) / 50.0, 1.0)
+       + 0.3 * greatest(0.0, 1.0 -
+           (CASE WHEN length(text) > 0 THEN
+              length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+              * 1.0 / length(text) ELSE 0.0 END) * 4)
+       + 0.3 * least((CASE WHEN len(ts) > 0 THEN
+           len(list_filter(ts, t -> list_contains(
+             ['the','and','of','to','in','is','that','it','for','was'], t)))
+           * 1.0 / len(ts) ELSE 0.0 END) * 5, 1.0), 4) AS quality
+FROM scored
+""")
+def doc_lang_quality(spark, sf_dir):
+    """Oracle-checked language-ID + quality heuristic (the two text ops
+    that were previously only pytest-covered)."""
+    d = _tw(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+
+
 @q("doc_minhash_pairs")  # rows-only: xxhash64 signatures have no DuckDB twin
 def doc_minhash_pairs(spark, sf_dir):
     d = _tw(spark, sf_dir, "documents")

@@ -85,6 +85,31 @@ class TestDedup:
         for pair, j in mh.items():   # LSH verified values == exact values
             assert ex[pair] == j
 
+    def test_connected_components_chain_and_singletons(self, spark):
+        # chain 1-2-3-4 (tests pointer jumping past direct neighbors),
+        # pair 10-11, isolated 20
+        pairs = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 4), (10, 11)], ["a", "b"])
+        nodes = spark.createDataFrame([(i,) for i in
+                                       (1, 2, 3, 4, 10, 11, 20)], ["id"])
+        cc = {r.id: r.cluster_id
+              for r in D.connected_components(pairs, nodes).collect()}
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+    def test_dup_clusters_representative(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aaaa"), (2, "aaaaaaaa"), (3, "aa"), (4, "bbb")],
+            ["doc_id", "text"])
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+        rows = {r.id: r for r in
+                D.dup_clusters(df, pairs, "doc_id", F.length("text"))
+                .collect()}
+        assert all(rows[i].cluster_id == 1 for i in (1, 2, 3))
+        assert rows[4].cluster_id == 4 and rows[4].cluster_size == 1
+        assert rows[2].is_rep and not rows[1].is_rep and not rows[3].is_rep
+        assert rows[4].is_rep
+        assert rows[1].cluster_size == 3
+
     def test_simhash(self, spark):
         # long documents: a 1-word change flips few simhash bits
         base = " ".join(f"token{i} word{i % 7} filler" for i in range(80))
