@@ -101,6 +101,94 @@ def lsh_topk(
     )
 
 
+def _l2sq(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _nearest_lists(vec_col, centroids: list[list[float]], nprobe: int):
+    """Array of the `nprobe` nearest centroid indices (squared-L2,
+    ties break toward the lower index) — pure column algebra."""
+    entries = [
+        F.struct(
+            _l2sq(vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
+            F.lit(i).alias("i"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    ranked = F.array_sort(F.array(*entries))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+
+
+def ivf_train_centroids(
+    corpus: DataFrame, nlist: int, dim: int, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: seed centroids are the `nlist`
+    corpus vectors with the smallest xxhash64(id) (a seeded sample that
+    needs no Date/Random), refined with `iters` Lloyd rounds — assignment
+    is a map-only pass against broadcast literal centroids, the update is
+    one partial-aggregated groupBy.  The returned model is nlist×dim
+    floats (driver-sized by construction); at 100 TB you train on exactly
+    this plan over a sampled corpus and only the tiny model ever leaves
+    the executors."""
+    base = corpus.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("v"))
+    seed_rows = (
+        base.withColumn("h", F.xxhash64(F.col("id").cast("string")))
+        .orderBy("h", "id").limit(nlist).select("v").collect()
+    )
+    cents = [[float(x) for x in r.v] for r in seed_rows]
+    for _ in range(iters):
+        assigned = base.withColumn(
+            "list_id", _nearest_lists(F.col("v"), cents, 1)[0])
+        means = (
+            assigned.groupBy("list_id")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {int(r.list_id): [float(r[f"c{i}"]) for i in range(dim)]
+               for r in means}
+        # empty lists keep their previous centroid
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+    nlist: int = 8, nprobe: int = 2, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus rows live in their nearest-centroid
+    inverted list; each query probes its `nprobe` nearest lists and exact
+    cosine re-ranks only inside them.  Candidate generation is an equi-join
+    on list_id — never all-pairs — so the probe cost scales with
+    nprobe/nlist of the corpus.  nprobe == nlist degrades gracefully to the
+    exact brute-force result (the pytest invariant)."""
+    cents = ivf_train_centroids(corpus, nlist, dim, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"),
+        _nearest_lists(F.col(vec_col), cents, 1)[0].alias("list_id"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.explode(_nearest_lists(F.col(vec_col), cents, nprobe))
+        .alias("list_id"))
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"),
+                                             F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def embedding_cosine_dup_pairs(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     nbits: int = 8, seed: int = 42,

@@ -810,6 +810,15 @@ def ann_lsh_topk(spark, sf_dir):
     return X.lsh_topk(e, qdf, dim=64, k=3, nbits=8)
 
 
+@q("ann_ivf_topk")  # rows-only: approximate path (IVF-flat), no SQL twin
+def ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN: deterministic k-means lists, probe-join
+    candidate generation, exact cosine re-rank inside probed lists."""
+    e = _tw(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") < 8)
+    return X.ivf_topk(e, qdf, dim=64, k=3, nlist=8, nprobe=3)
+
+
 @q("embedding_dup_pairs_lsh")  # rows-only scale path
 def embedding_dup_pairs_lsh(spark, sf_dir):
     e = _tw(spark, sf_dir, "embeddings")

@@ -159,6 +159,22 @@ class TestVectors:
         # perturbed twins land in the same bucket for most queries
         assert sum(1 for qid, cid in hits.items() if cid == qid + 10) >= 3
 
+    def test_ivf_full_probe_equals_brute_force(self, vecs):
+        # probing every list must reproduce the exact result
+        exact = sorted(tuple(r) for r in X.brute_force_topk(
+            vecs, vecs.filter("vec_id < 5"), k=3).collect())
+        ivf = sorted(tuple(r) for r in X.ivf_topk(
+            vecs, vecs.filter("vec_id < 5"), dim=16, k=3,
+            nlist=4, nprobe=4).collect())
+        assert ivf == exact
+
+    def test_ivf_small_probe_recall(self, vecs):
+        got = X.ivf_topk(vecs, vecs.filter("vec_id < 5"), dim=16, k=1,
+                         nlist=4, nprobe=1).collect()
+        hits = {r.query_id: r.corpus_id for r in got}
+        # a perturbed twin shares its original's nearest list
+        assert sum(1 for qid, cid in hits.items() if cid == qid + 10) >= 4
+
     def test_dup_pairs(self, vecs):
         pairs = {(r.a, r.b) for r in X.embedding_cosine_dup_pairs(
             vecs, threshold=0.99, dim=16, nbits=4).collect()}
