@@ -249,8 +249,10 @@ def connected_components(
         new = (
             new.join(hop, "label", "left")
             .select("id", F.coalesce("label2", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # single action per round: the convergence probe materializes the
+        # (lazy) checkpoint as a side effect
         changed = (
             new.join(labels.withColumnRenamed("label", "old"), "id")
             .filter(F.col("label") != F.col("old"))

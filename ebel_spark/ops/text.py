@@ -34,6 +34,35 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+#: GPT-2-style pre-tokenizer pattern, restricted to constructs Java regex
+#: and RE2 (DuckDB) interpret identically (no lookahead): contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col) -> Column:
+    """BPE-ish pre-token pieces (the merge-free approximation of a byte-pair
+    tokenizer's pre-split)."""
+    return F.regexp_extract_all(col, F.lit(BPE_SPLIT_RE), 0)
+
+
+def bpe_token_count(col) -> Column:
+    """Estimated subword count: each pre-token piece contributes
+    ceil(len/4) subwords (min 1) — the ~4-chars-per-token rule of thumb
+    applied per piece, deterministic and column-algebra only."""
+    return F.aggregate(
+        bpe_tokens(col), F.lit(0).cast("long"),
+        lambda acc, x: acc + F.greatest(
+            F.lit(1).cast("long"),
+            F.floor((F.length(F.ltrim(x)) + 3) / 4).cast("long")),
+    )
+
+
+def whitespace_token_count(col) -> Column:
+    """Plain whitespace-split token count (no lowercasing/punct strip)."""
+    return F.size(F.filter(F.split(col, r"\s+"), lambda t: t != ""))
+
+
 def punct_ratio(col) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     stripped = F.regexp_replace(col, "[a-zA-Z0-9 ]", "")

@@ -573,13 +573,65 @@ def doc_stopword_ratio(spark, sf_dir):
     )
 
 
-# rows-only: heuristic language id + rolling-hash fingerprint (xxhash64 has
-# no DuckDB twin)
-@q("doc_text_profile")
+@q("doc_text_profile", """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, ts,
+         CASE WHEN len(ts) > 0 THEN list_max([
+           {'score': len(list_filter(ts, t -> list_contains(
+              ['der','die','das','und','ist','nicht','ein','mit','auf','für'],
+              t))) * 1.0 / len(ts), 'lang': 'de'},
+           {'score': len(list_filter(ts, t -> list_contains(
+              ['the','and','of','to','in','is','that','it','for','was'],
+              t))) * 1.0 / len(ts), 'lang': 'en'},
+           {'score': len(list_filter(ts, t -> list_contains(
+              ['el','la','los','las','es','un','una','en','por','para'],
+              t))) * 1.0 / len(ts), 'lang': 'es'},
+           {'score': len(list_filter(ts, t -> list_contains(
+              ['le','la','les','et','est','un','une','des','dans','pour'],
+              t))) * 1.0 / len(ts), 'lang': 'fr'}])
+         ELSE {'score': 0.0, 'lang': 'fr'} END AS best,
+         CASE WHEN len(ts) > 0 THEN
+           len(list_filter(ts, t -> list_contains(
+             ['the','and','of','to','in','is','that','it','for','was'], t)))
+           * 1.0 / len(ts) ELSE 0.0 END AS stop_en,
+         CASE WHEN length(text) > 0 THEN
+           length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+           * 1.0 / length(text) ELSE 0.0 END AS praw
+  FROM toks
+)
+SELECT doc_id,
+       len(ts) AS n_tokens,
+       round(praw, 4) AS punct_ratio,
+       round(stop_en, 4) AS stopword_ratio,
+       round(CASE WHEN len(ts) > 0 THEN
+         list_sum(list_transform(ts, t -> length(t))) * 1.0 / len(ts)
+         ELSE 0.0 END, 4) AS mean_token_len,
+       round(0.4 * least(len(ts) / 50.0, 1.0)
+           + 0.3 * greatest(0.0, 1.0 - praw * 4)
+           + 0.3 * least(stop_en * 5, 1.0), 4) AS quality,
+       CASE WHEN best.score >= 0.02 THEN best.lang
+            ELSE 'unknown' END AS lang_pred
+FROM scored
+""")
 def doc_text_profile(spark, sf_dir):
+    """Full text-analysis profile, every column oracle-checked (the
+    xxhash64 fingerprint lives in `doc_fingerprints` — no DuckDB twin)."""
     d = _tw(spark, sf_dir, "documents")
     return T.text_profile(d, "text").select(
-        "doc_id", "n_tokens", "quality", "lang_pred", "fingerprint")
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_token_len", "quality", "lang_pred")
+
+
+@q("doc_fingerprints")  # rows-only: rolling-hash minhash (xxhash64)
+def doc_fingerprints(spark, sf_dir):
+    d = _tw(spark, sf_dir, "documents")
+    return d.select("doc_id",
+                    T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
 # ---------------------------------------------------------------------------
@@ -627,6 +679,29 @@ def doc_ngram_jaccard_pairs(spark, sf_dir):
     d = _tw(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=3,
                                  threshold=0.5, max_df=1000)
+
+
+@q("doc_bpe_token_counts", """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+         AS n_ws_tokens,
+       CAST(coalesce(list_sum(list_transform(
+         regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'),
+         x -> greatest(1, (length(ltrim(x)) + 3) // 4))), 0) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+""")
+def doc_bpe_token_counts(spark, sf_dir):
+    """Token counting, both flavors the brief asks for: raw whitespace
+    split and a BPE-ish regex subword estimate (GPT-2-style pre-split,
+    ceil(len/4) subwords per piece)."""
+    d = _tw(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
 
 
 @q("doc_dup_clusters", """

@@ -60,6 +60,23 @@ class TestText:
         assert 0 <= rows[2] <= 1
 
 
+class TestBpeTokens:
+    def test_bpe_token_count(self, spark):
+        df = spark.createDataFrame(
+            [(0, "It's a test-case: don't split 123abc wrongly!"),
+             (1, ""), (2, "internationalization")],
+            ["i", "t"])
+        rows = {r.i: (r.ws, r.bpe) for r in df.select(
+            "i",
+            T.whitespace_token_count(F.col("t")).alias("ws"),
+            T.bpe_token_count(F.col("t")).alias("bpe")).collect()}
+        # "It"+"'s"+" a"+" test"+"-"+"case"+":"+" don"+"'t"+" split"
+        # +" 123"+"abc"+" wrongly"+"!" -> pieces, ceil(len/4) each
+        assert rows[0] == (7, 16)
+        assert rows[1] == (0, 0)
+        assert rows[2] == (1, 5)   # 20 chars -> 5 subwords
+
+
 class TestDedup:
     def test_exact(self, docs):
         res = {r.id: r for r in D.exact_dedup(docs, "doc_id", "text").collect()}
