@@ -134,6 +134,30 @@ def stream_user_sessions(
     )
 
 
+def stream_dedup_documents(
+    docs_stream: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: the streaming twin of `ops.dedup.exact_dedup`
+    for continuously-arriving documents.
+
+    Rows whose content sha256 was already seen within the watermark horizon
+    are dropped (`dropDuplicatesWithinWatermark`), so re-uploads and
+    crawler revisits never reach the expensive downstream operators.  State
+    is one sha + timestamp per distinct document and is evicted once the
+    event-time watermark passes — bounded state regardless of stream
+    length, which is what makes this viable on an unbounded 100 TB feed."""
+    return (
+        docs_stream
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .withColumn("text_sha", F.sha2(F.col(text_col), 256))
+        .dropDuplicatesWithinWatermark(["text_sha"])
+    )
+
+
 def stream_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -111,3 +111,33 @@ class TestStreaming:
         # (500000 - 3600 >> last+gap); u3's session stays open.
         assert got == {(1, 1000, 1010, 2), (1, 6000, 6000, 1),
                        (2, 1000, 1000, 1)}
+
+    def test_stream_dedup_documents(self, spark, tmp_path):
+        from ebel_spark.streaming import stream_dedup_documents
+
+        src = str(tmp_path / "docsrc")
+        # trigger 1: two distinct texts, one exact dup
+        spark.createDataFrame(
+            [(0, 1000, "alpha beta"), (1, 1001, "alpha beta"),
+             (2, 1002, "gamma delta")],
+            ["doc_id", "ts", "text"],
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .write.mode("overwrite").parquet(src)
+        # trigger 2: another dup of 'alpha beta' (within watermark) + new
+        spark.createDataFrame(
+            [(3, 1500, "alpha beta"), (4, 1600, "epsilon zeta")],
+            ["doc_id", "ts", "text"],
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .write.mode("append").parquet(src)
+
+        sch = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        deduped = stream_dedup_documents(stream, watermark="1 hour")
+        q = (deduped.writeStream.format("memory").queryName("dedup_t")
+             .option("checkpointLocation", str(tmp_path / "ckd"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = sorted(r.text for r in spark.table("dedup_t").collect())
+        # exactly one survivor per distinct text across ALL micro-batches
+        assert got == ["alpha beta", "epsilon zeta", "gamma delta"]
