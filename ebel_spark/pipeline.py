@@ -360,6 +360,8 @@ def run_pipeline(
 
     with open(os.path.join(out_dir, f"metrics_{run_id}.json"), "w") as fd:
         json.dump(metrics, fd, indent=2)
+    from . import sinks
+    sinks.write_metrics_table(spark, metrics, out_dir)
     return metrics
 
 

@@ -100,3 +100,53 @@ def upsert_lineage(
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *
     """)
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 64,
+    path: str | None = None,
+    sort: bool = True,
+) -> DataFrame:
+    """Write a hash-bucketed (and bucket-sorted) parquet table.
+
+    Bucketing is the co-located-join primitive for the repeatedly-joined
+    graph tables (nodes ⋈ edges on node id): two tables bucketed on the
+    same key with the same bucket count join WITHOUT a shuffle on either
+    side — at 10^12-edge scale that deletes the dominant exchange from
+    every downstream graph query.  (Iceberg expresses the same layout as
+    a `bucket(N, key)` partition transform.)"""
+    w = df.write.mode("overwrite").format("parquet") \
+        .bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return spark.table(table)
+
+
+def write_metrics_table(
+    spark: SparkSession,
+    metrics: dict,
+    out_dir: str,
+) -> None:
+    """Append this run's metrics to the queryable metrics table
+    (`<out>/metrics`, one row per stage/counter) — the north rule's
+    "lineage + metrics tables" companion to the per-run JSON file.
+    Append-mode parquet: each run adds a few dozen rows keyed by run_id,
+    so the table accumulates a queryable history across resumes."""
+    run_id = str(metrics.get("run_id", ""))
+    rows = [(run_id, f"stage.{k}", float(v))
+            for k, v in metrics.get("stages", {}).items()]
+    rows += [(run_id, k, float(v)) for k, v in metrics.items()
+             if isinstance(v, (int, float))]
+    if not rows:
+        return
+    mdf = spark.createDataFrame(rows, "run_id string, metric string, "
+                                      "value double")
+    mdf.coalesce(1).write.mode("append").parquet(
+        os.path.join(out_dir, "metrics"))
