@@ -271,12 +271,20 @@ def run_pipeline(
             else:
                 # caching the full wide frame costs a second
                 # materialization of the heaviest shuffle and OOMs
-                # small-heap configs: checkpoint only the probe; the wide
-                # DAG executes once, inside the union write below
+                # small-heap configs.  The probe doesn't need the deduped
+                # edges at all: edge dedup never changes WHICH
+                # (relation, object_id) pairs exist, so probing the raw
+                # statements under the same edge filter is equivalent —
+                # and it turns a full two-phase aggregation pass of every
+                # statement into a pushed-filter scan of the two rare
+                # relations.  The wide edge DAG then executes exactly
+                # once, inside the union write below.
                 p2g_probe = _ckpt(
-                    edges_stmt.filter(F.col("relation").isin(
-                        ["translated_to", "transcribed_to"]))
-                    .select("relation", "object_id"),
+                    st_valid.filter(
+                        F.col("edge_key").isNotNull() & ~F.col("nested")
+                        & F.col("relation").isin(
+                            ["translated_to", "transcribed_to"]))
+                    .select("relation", "object_id").distinct(),
                     "p2g_probe")
         with stage("materialize.struct_edges"):
             struct_edges = _ckpt(
