@@ -158,6 +158,7 @@ def ivf_topk(
     corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
     nlist: int = 8, nprobe: int = 2, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    decimals: int = 6,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus rows live in their nearest-centroid
     inverted list; each query probes its `nprobe` nearest lists and exact
@@ -178,7 +179,7 @@ def ivf_topk(
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .withColumn("cosine", F.round(cosine(F.col("q_vec"),
-                                             F.col("c_vec")), 6))
+                                             F.col("c_vec")), decimals))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id"))

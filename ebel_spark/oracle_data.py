@@ -31,7 +31,7 @@ ORACLE_FILES = 200
 ORACLE_STMTS = 30
 # bump the version segment whenever the corpus generator or the projected
 # columns change — the marker file only guards against partial writes
-ORACLE_BASE = f"/tmp/ebel_spark_oracle_v5/c{ORACLE_FILES}x{ORACLE_STMTS}"
+ORACLE_BASE = f"/tmp/ebel_spark_oracle_v6/c{ORACLE_FILES}x{ORACLE_STMTS}"
 _MARKER = "_ORACLE_READY"
 
 
@@ -51,9 +51,19 @@ def ensure_oracle_tables(base: str = ORACLE_BASE) -> str:
     src = corpus_pandas(profile)
 
     st_rows, node_rows, entry_rows, def_rows = [], [], [], []
+    err_rows = []
     for row in src.itertuples(index=False):
         sha = hashlib.sha256(row.content.encode()).hexdigest()
         r = process_file(row.content)
+        # syntax errors are recorded for EVERY file (they are what makes a
+        # file not-ok); the relational projections below only for ok files,
+        # mirroring parse.statements_table(parsed.filter("ok"))
+        for e in r["syntax_errors"]:
+            err_rows.append({
+                "file_sha": sha, "error_class": e["error_class"],
+                "entry": e["entry"], "line": e["line"],
+                "col": e["column"], "hint": e["hint"],
+            })
         if not r["ok"]:
             continue
         for s in r["statements"]:
@@ -103,6 +113,9 @@ def ensure_oracle_tables(base: str = ORACLE_BASE) -> str:
         "statements": pd.DataFrame(st_rows),
         "nodes_raw": pd.DataFrame(node_rows),
         "entries": pd.DataFrame(entry_rows),
+        "errors": pd.DataFrame(
+            err_rows, columns=["file_sha", "error_class", "entry", "line",
+                               "col", "hint"]),
         "defs": pd.DataFrame(def_rows),
         "ns_dict": dims.namespace_entries,
         "anno_dict": dims.annotation_entries,

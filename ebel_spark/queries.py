@@ -894,6 +894,30 @@ def ann_ivf_topk(spark, sf_dir):
     return X.ivf_topk(e, qdf, dim=64, k=3, nlist=8, nprobe=3)
 
 
+@q("ann_ivf_exact_topk", """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_cosine_similarity(q.embedding, c.embedding), 4)
+           AS cosine
+  FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+""")
+def ann_ivf_exact_topk(spark, sf_dir):
+    """IVF machinery under the hard gate: with nprobe == nlist every list is
+    probed, so the probe equi-join degenerates to the full candidate set and
+    the result must EQUAL brute-force cosine top-k — which IS the SQL twin.
+    (The approximate nprobe<nlist path stays rows-only + pytest recall.)"""
+    e = _tw(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") < 8)
+    return X.ivf_topk(e, qdf, dim=64, k=3, nlist=8, nprobe=8, decimals=4)
+
+
 @q("embedding_dup_pairs_lsh")  # rows-only scale path
 def embedding_dup_pairs_lsh(spark, sf_dir):
     e = _tw(spark, sf_dir, "embeddings")
@@ -913,6 +937,30 @@ def multimodal_features(spark, sf_dir):
     return feats.select(
         "asset_id", "kind", "n_bytes",
         F.to_json("features").alias("features"),
+    )
+
+
+@q("multimodal_byte_stats", """
+SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END                        AS kind,
+       count(*)                                     AS n_assets,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+FROM documents
+GROUP BY 1
+""")
+def multimodal_byte_stats(spark, sf_dir):
+    """Puts the multimodal mapInPandas plumbing under the hard gate with
+    hash-stable values: the Arrow-batched feature UDF emits n_bytes per
+    asset, aggregated per kind; the oracle recomputes payload byte lengths
+    straight from the text column.  (The float histogram itself stays
+    pytest-checked — float-array formatting is not hash-stable.)"""
+    d = _tw(spark, sf_dir, "documents")
+    feats = extract_features(synth_assets(d), bins=16)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("n_bytes").alias("sum_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
     )
 
 
@@ -958,53 +1006,6 @@ def image_resize_spec(spark, sf_dir):
     arithmetic, JVM-side) vs the same arithmetic in SQL."""
     d = _tw(spark, sf_dir, "documents")
     return resize_spec(synth_assets(d), target=224)
-
-
-# ---------------------------------------------------------------------------
-# the BEL pipeline itself (rows-only: no SQL twin for the parse UDF)
-# ---------------------------------------------------------------------------
-
-def _bel_corpus(spark, n_files: int = 24):
-    from .corpus import CorpusProfile, corpus_spark
-    profile = CorpusProfile(n_files=n_files, statements_per_file=30)
-    return corpus_spark(spark, profile, partitions=4)
-
-
-@q("bel_triples")
-def bel_triples(spark, sf_dir):
-    from . import parse as P
-    parsed = P.parse_sources(_bel_corpus(spark))
-    st = P.statements_table(parsed)
-    return st.filter(F.col("relation").isNotNull() & ~F.col("nested")).select(
-        "file_sha", "stmt_idx", "subject_bel", "relation", "object_bel",
-        "citation_type", "citation_ref", "evidence", "pmid",
-    )
-
-
-@q("bel_nodes")
-def bel_nodes(spark, sf_dir):
-    from . import graph as G
-    from . import parse as P
-    parsed = P.parse_sources(_bel_corpus(spark))
-    nodes = G.materialize_nodes(
-        P.nodes_table(parsed.filter("ok")))
-    return nodes.select("node_id", "node_class", "bel", "namespace", "name",
-                        "pure", "n_occurrences")
-
-
-@q("bel_validation_errors")
-def bel_validation_errors(spark, sf_dir):
-    from . import parse as P
-    from . import validate as V
-    from .namespaces import build_dimensions, dims_to_spark
-    parsed = P.parse_sources(_bel_corpus(spark))
-    dims = dims_to_spark(spark, build_dimensions())
-    ok = parsed.filter("ok").select("file_sha")
-    sem = V.semantic_errors(
-        P.entries_table(parsed).join(ok, "file_sha", "left_semi"),
-        P.definitions_table(parsed).join(ok, "file_sha", "left_semi"),
-        dims["ns_dict"], dims["anno_dict"], with_hints=False)
-    return P.syntax_errors_table(parsed).unionByName(sem)
 
 
 # ---------------------------------------------------------------------------
@@ -1246,6 +1247,86 @@ def bel_semantic_errors(spark, sf_dir):
     )
     return fams.select("file_sha", "error_class", "keyword", "entry",
                        "line_number")
+
+
+# -- flagship outputs, full-value oracles -----------------------------------
+# The three flagship tables (triples / nodes / errors) were rows-only in
+# round 1.  They now run over the oracle corpus: the Spark side re-parses it
+# DISTRIBUTED (mapInPandas) and runs the full DataFrame algebra; the oracle
+# is plain SQL over the pandas-parsed projections — so the driver's hard
+# gate value-checks the flagship pipeline end to end.
+
+@q("bel_triples", f"""
+SELECT file_sha, stmt_idx, subject_bel, relation, object_bel,
+       citation_type, citation_ref, evidence, pmid
+FROM read_parquet('{_OB}/statements/*.parquet')
+WHERE relation IS NOT NULL AND NOT nested
+""")
+def bel_triples(spark, sf_dir):
+    """Flagship (subj, pred, obj) emission: distributed parse + statement
+    explode vs the pandas-parsed statement projection (parser.py:321,
+    importer.py:243-305 equivalents)."""
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    return st.filter(F.col("relation").isNotNull() & ~F.col("nested")).select(
+        "file_sha", "stmt_idx", "subject_bel", "relation", "object_bel",
+        "citation_type", "citation_ref", "evidence", "pmid",
+    )
+
+
+_PURE_SQL = "('abundance','complex','gene','micro_rna','protein','rna')"
+
+
+@q("bel_nodes", f"""
+SELECT substr(sha256(node_class || '|' || bel), 1, 32) AS node_id,
+       node_class, bel,
+       max(namespace) AS namespace, max(name) AS name,
+       node_class IN {_PURE_SQL} AS pure,
+       count(*) AS n_occurrences
+FROM read_parquet('{_OB}/nodes_raw/*.parquet')
+GROUP BY node_class, bel
+""")
+def bel_nodes(spark, sf_dir):
+    """Flagship node table: distributed node dedup + content-addressed ids
+    (graph.materialize_nodes) vs SQL grouping over the pandas-parsed node
+    rows.  sha256-based node_id is recomputed independently on both sides
+    (importer.py:423 rid-cache replacement)."""
+    from . import graph as G
+    from . import parse as P
+    nodes = G.materialize_nodes(
+        P.nodes_table(_bel_oracle_parsed(spark).filter("ok")))
+    return nodes.select("node_id", "node_class", "bel", "namespace", "name",
+                        "pure", "n_occurrences")
+
+
+@q("bel_validation_errors", f"""
+SELECT file_sha, error_class, CAST(NULL AS VARCHAR) AS keyword,
+       regexp_replace(entry, '[\\n\\r]', '', 'g') AS entry,
+       line AS line_number
+FROM read_parquet('{_OB}/errors/*.parquet')
+UNION ALL
+SELECT * FROM (
+{{SEM}}
+) semantic
+""".replace("{SEM}", QUERIES["bel_semantic_errors"][1].strip()))
+def bel_validation_errors(spark, sf_dir):
+    """Flagship error report: syntax errors (parse recovery lines) UNION the
+    four semantic families, vs the same union in SQL (validate.py:252-354
+    equivalent).  Semantic errors only apply to parseable files, mirroring
+    the reference's validate-then-check flow."""
+    from . import parse as P
+    from . import validate as V
+    from .namespaces import build_dimensions, dims_to_spark
+    parsed = _bel_oracle_parsed(spark)
+    dims = dims_to_spark(spark, build_dimensions())
+    ok = parsed.filter("ok").select("file_sha")
+    sem = V.semantic_errors(
+        P.entries_table(parsed).join(ok, "file_sha", "left_semi"),
+        P.definitions_table(parsed).join(ok, "file_sha", "left_semi"),
+        dims["ns_dict"], dims["anno_dict"], with_hints=False)
+    out = P.syntax_errors_table(parsed).unionByName(sem, allowMissingColumns=True)
+    return out.select("file_sha", "error_class", "keyword", "entry",
+                      "line_number")
 
 
 # ---------------------------------------------------------------------------
