@@ -228,7 +228,8 @@ class TestMultimodal:
 class TestContractInline:
     """Spot-check three representative oracle pairs at sf0.001."""
 
-    NAMES = ["pricing_summary", "doc_token_counts", "ann_brute_topk"]
+    NAMES = ["pricing_summary", "doc_token_counts", "ann_brute_topk",
+             "ann_ivf_exact_topk", "multimodal_byte_stats"]
 
     @staticmethod
     def _norm(cols, rows):
