@@ -1,0 +1,132 @@
+"""Driver-side oracle tables for the xxhash64-based document operators.
+
+MinHash-LSH pairs, SimHash pairs, and rolling-hash fingerprints had no
+DuckDB twin in round 1 because DuckDB cannot evaluate Spark's xxhash64.
+`oracle_xxh` closes that gap: these builders recompute the per-document
+hash artifacts in pure pandas/Python (bit-for-bit, independently of the
+Spark column-algebra implementations in `ops/text.py` / `ops/dedup.py`)
+and write them to parquet, so the DuckDB oracle can run the *relational*
+half — band-bucket candidate joins, all-pairs hamming verification,
+exact-Jaccard filters — in plain SQL over them:
+
+- `fingerprints`  (doc_id, fingerprint)      — compared directly.
+- `minhash_bands` (id, band_idx, band_hash)  — SQL re-runs the LSH
+  band equi-join and the exact shingle-set Jaccard verification.
+- `minhash_sh`    (id, sh list<string>)      — distinct 3-gram shingles.
+- `simhash_docs`  (id, sim)                  — SQL does the *all-pairs*
+  hamming join, which also proves the pigeonhole chunk blocking in the
+  Spark op is complete (hamming <= 3 must share one of 4 16-bit chunks).
+
+The tables are built from the driver's correctness-gate scale
+(/root/testdata/sf0.01) — the only scale the gate compares at.
+Parameters mirror the `doc_*` queries: shingle_n=3, k=32, bands=16,
+threshold=0.5 (minhash); fingerprint shingle n=5; simhash 64-bit.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pandas as pd
+
+from .oracle_xxh import spark_xxhash64_str, spark_xxhash64_str_int
+
+GATE_DOCS = "/root/testdata/sf0.01/documents.parquet"
+DOCS_BASE = "/tmp/ebel_spark_oracle_docs_v1"
+_MARKER = "_DOCS_ORACLE_READY"
+
+_TOKEN_SPLIT = re.compile(r"[^a-z0-9]+")
+
+MINHASH_K = 32
+MINHASH_BANDS = 16
+MINHASH_SHINGLE_N = 3
+FINGERPRINT_N = 5
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in _TOKEN_SPLIT.split(text.lower()) if t]
+
+
+def _shingles(toks: list[str], n: int) -> list[str]:
+    """Distinct word n-gram shingles, first-occurrence order
+    (ops/text.shingles semantics)."""
+    if len(toks) >= n:
+        return list(dict.fromkeys(
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)))
+    if toks:
+        return [" ".join(toks)]
+    return []
+
+
+def ensure_docs_oracle_tables(base: str = DOCS_BASE,
+                              docs_parquet: str = GATE_DOCS) -> str:
+    """Build the doc-op oracle parquet tables if absent; returns base."""
+    if os.path.exists(os.path.join(base, _MARKER)):
+        return base
+
+    docs = pd.read_parquet(docs_parquet, columns=["doc_id", "text"])
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+
+    fp_rows, band_rows, sh_rows, sim_rows = [], [], [], []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        doc_id = int(doc_id)
+        toks = _tokens(text)
+
+        # fingerprint: min xxhash64 over 5-gram shingles (1-perm MinHash)
+        sh5 = _shingles(toks, FINGERPRINT_N)
+        fp_rows.append({
+            "doc_id": doc_id,
+            "fingerprint": (min(spark_xxhash64_str(s) for s in sh5)
+                            if sh5 else None),
+        })
+
+        # minhash: sig[i] = min over shingles of xxhash64(shingle, i);
+        # band_hash = xxhash64 of the comma-joined signature slice
+        sh3 = _shingles(toks, MINHASH_SHINGLE_N)
+        if sh3:
+            sh_rows.append({"id": doc_id, "sh": sh3})
+            per_seed = [
+                [spark_xxhash64_str_int(s, i) for s in sh3]
+                for i in range(MINHASH_K)
+            ]
+            sig = [min(hs) for hs in per_seed]
+            for b in range(MINHASH_BANDS):
+                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                band_rows.append({
+                    "id": doc_id, "band_idx": b,
+                    "band_hash": spark_xxhash64_str(
+                        ",".join(str(v) for v in chunk)),
+                })
+
+        # simhash: per-bit +1/-1 votes over (non-distinct) token hashes
+        votes = [0] * 64
+        for t in toks:
+            h = spark_xxhash64_str(t)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        sim = 0
+        for i in range(64):
+            if votes[i] > 0:
+                sim |= 1 << i
+        if sim >= (1 << 63):
+            sim -= 1 << 64
+        sim_rows.append({"id": doc_id, "sim": sim})
+
+    os.makedirs(base, exist_ok=True)
+    tables = {
+        "fingerprints": pd.DataFrame(fp_rows).astype(
+            {"doc_id": "int64", "fingerprint": "Int64"}),
+        "minhash_bands": pd.DataFrame(band_rows).astype(
+            {"id": "int64", "band_idx": "int32", "band_hash": "int64"}),
+        "minhash_sh": pd.DataFrame(sh_rows),
+        "simhash_docs": pd.DataFrame(sim_rows).astype(
+            {"id": "int64", "sim": "int64"}),
+    }
+    for name, pdf in tables.items():
+        d = os.path.join(base, name)
+        os.makedirs(d, exist_ok=True)
+        pdf.to_parquet(os.path.join(d, "part-0.parquet"), index=False)
+    with open(os.path.join(base, _MARKER), "w") as fd:
+        fd.write("ok")
+    return base

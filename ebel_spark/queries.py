@@ -627,8 +627,13 @@ def doc_text_profile(spark, sf_dir):
         "mean_token_len", "quality", "lang_pred")
 
 
-@q("doc_fingerprints")  # rows-only: rolling-hash minhash (xxhash64)
+@q("doc_fingerprints", """
+SELECT doc_id, fingerprint
+FROM read_parquet('/tmp/ebel_spark_oracle_docs_v1/fingerprints/*.parquet')
+""")
 def doc_fingerprints(spark, sf_dir):
+    """Rolling-hash fingerprint (1-perm MinHash over 5-gram shingles) vs a
+    driver-side pure-Python xxhash64 twin (oracle_docs/oracle_xxh)."""
     d = _tw(spark, sf_dir, "documents")
     return d.select("doc_id",
                     T.fingerprint(F.col("text")).alias("fingerprint"))
@@ -805,15 +810,56 @@ def doc_lang_quality(spark, sf_dir):
     )
 
 
-@q("doc_minhash_pairs")  # rows-only: xxhash64 signatures have no DuckDB twin
+@q("doc_minhash_pairs", """
+WITH bands AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_docs_v1/minhash_bands/*.parquet')
+),
+sh AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_docs_v1/minhash_sh/*.parquet')
+),
+cand AS (
+  SELECT DISTINCT l.id AS a, r.id AS b
+  FROM bands l JOIN bands r
+    ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+   AND l.id < r.id
+),
+verified AS (
+  SELECT cand.a, cand.b,
+         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.id = cand.a
+  JOIN sh sb ON sb.id = cand.b
+)
+SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+""")
 def doc_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs vs an independent twin: signatures and
+    band hashes recomputed driver-side in pure Python (oracle_xxh), the
+    band equi-join + exact shingle-Jaccard verification re-run in SQL."""
     d = _tw(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(d, "doc_id", "text", k=32, bands=16,
                                shingle_n=3, threshold=0.5)
 
 
-@q("doc_simhash_pairs")  # rows-only
+@q("doc_simhash_pairs", """
+WITH d AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_docs_v1/simhash_docs/*.parquet')
+)
+SELECT a, b, hamming FROM (
+  SELECT l.id AS a, r.id AS b,
+         CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
+  FROM d l JOIN d r ON l.id < r.id
+) WHERE hamming <= 3
+""")
 def doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs vs a driver-side twin.  The oracle joins
+    ALL pairs on hamming <= 3, so a match also proves the Spark op's
+    pigeonhole 16-bit-chunk blocking loses no candidate pair."""
     d = _tw(spark, sf_dir, "documents")
     return D.simhash_pairs(d, "doc_id", "text", max_hamming=3)
 
@@ -1421,7 +1467,10 @@ def queries() -> dict:
 
 
 def oracle_sql() -> dict:
-    # the bel_* oracles read driver-side parquet projections; build them
-    # here too so the SQL works no matter which side the driver runs first
+    # the bel_* and doc-hash oracles read driver-side parquet projections;
+    # build them here too so the SQL works no matter which side the driver
+    # runs first
+    from .oracle_docs import ensure_docs_oracle_tables
     _ensure_oracle()
+    ensure_docs_oracle_tables()
     return {name: sql for name, (_, sql) in QUERIES.items() if sql}
