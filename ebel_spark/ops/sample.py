@@ -1,0 +1,113 @@
+"""Deterministic corpus sampling / splitting / packing operators.
+
+A 100 TB training-data pipeline needs reproducible, cluster-independent
+answers to "which split is this document in?", "how do we downweight
+over-represented sources?", and "how do documents pack into fixed token
+budgets?".  Everything here is driven by content hashes (md5 bucket in
+[0, N_BUCKETS)) or per-key window algebra, so:
+
+* no RNG state — the same row lands in the same split on any cluster, any
+  partitioning, any run (the property `random()`-based sampling lacks);
+* no shuffle for split/sample assignment (pure row-local column algebra —
+  narrow, whole-stage-codegen);
+* packing windows are PARTITIONed by a corpus key (`source`), never global,
+  so the sort parallelizes per key instead of serializing on one task.
+
+All operators are expressible in ANSI SQL and carry full-value DuckDB
+oracles in ebel_spark/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+#: bucket resolution for hash-based assignment; 10k gives 0.01% grain
+N_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, salt: str = "") -> Column:
+    """Stable bucket in [0, N_BUCKETS): first 8 hex chars of
+    md5(salt || key) as a 32-bit int, mod N_BUCKETS.
+
+    Distinct salts give independent assignments (the split decision must
+    not correlate with the sampling decision for the same key)."""
+    key = F.concat(F.lit(salt), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % N_BUCKETS
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.98,
+    val: float = 0.01,
+) -> DataFrame:
+    """Deterministic train/val/test split by id hash.
+
+    Row-local (no shuffle); membership is a pure function of the id, so
+    incremental corpus additions never reassign existing documents —
+    the property that keeps eval sets stable across corpus refreshes."""
+    b = hash_bucket(F.col(id_col), salt="split:")
+    t_hi = int(train * N_BUCKETS)
+    v_hi = t_hi + int(val * N_BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-group downsampling (corpus mixing): keep a row iff
+    its hash bucket falls under the group's weight.
+
+    `weights` maps group value -> keep fraction in [0, 1].  The when-chain
+    stays JVM-side (no Python, no map-type lookup), and the hash salt is
+    disjoint from split_assign's so mixing never biases splits."""
+    b = hash_bucket(F.col(id_col), salt="mix:")
+    expr = F.lit(default_weight)
+    for k, w in sorted(weights.items(), reverse=True):
+        expr = F.when(F.col(key_col) == k, F.lit(w)).otherwise(expr)
+    return df.where(b < (expr * N_BUCKETS).cast("long"))
+
+
+def pack_bins(
+    df: DataFrame,
+    cost_col: Column,
+    budget: int,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget bins by running
+    cost within each corpus partition.
+
+    bin_id = floor(exclusive-prefix-sum(cost) / budget): a document opens
+    a new bin when its starting offset crosses a budget boundary (the
+    contiguous-fill packing used to build fixed-token training shards —
+    deterministic, single window pass, no driver loop).
+
+    The window partitions by `part_col`; the per-key sort parallelizes
+    across keys, so at 100 TB this is a normal hash-partitioned window,
+    not a global sort."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(cost_col).over(w), F.lit(0)).cast("long")
+    return df.select(
+        part_col,
+        order_col,
+        cost_col.cast("long").alias("cost"),
+        F.floor(prefix / budget).cast("long").alias("bin_id"),
+    )

@@ -153,6 +153,59 @@ def fingerprint(col, n: int = 5) -> Column:
     ).otherwise(F.lit(None).cast("long"))
 
 
+def _grams2(toks) -> Column:
+    """All word 2-grams in order (duplicates kept — repetition signal)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.array_join(F.slice(toks, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_ratios(col) -> tuple[Column, Column]:
+    """Gopher-style within-document repetition signals: the fraction of
+    tokens (resp. word 2-grams) that are repeats of an earlier occurrence.
+    High values flag boilerplate/spam documents that poison training data.
+
+    Returns (dup_token_ratio, dup_2gram_ratio), each in [0, 1]."""
+    toks = tokens(col)
+    g2 = _grams2(toks)
+    dup1 = F.when(
+        F.size(toks) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    dup2 = F.when(
+        F.size(g2) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2),
+    ).otherwise(F.lit(0.0))
+    return dup1, dup2
+
+
+#: PII patterns restricted to constructs Java regex and RE2 share
+#: (no lookaround, no backreferences) so the DuckDB oracles match exactly
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_scrub(col) -> tuple[Column, Column, Column, Column]:
+    """Scrub emails / IPv4 addresses / short phone numbers, in that fixed
+    order (email bodies can contain dots; IPs must go before the phone
+    pass so dotted quads never half-match).
+
+    Returns (scrubbed_text, n_emails, n_ips, n_phones).  Pure JVM regex —
+    at 100 TB this is the map-side transform it should be."""
+    n_em = F.regexp_count(col, F.lit(PII_EMAIL_RE))
+    no_em = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.regexp_count(no_em, F.lit(PII_IP_RE))
+    no_ip = F.regexp_replace(no_em, PII_IP_RE, "<IP>")
+    n_ph = F.regexp_count(no_ip, F.lit(PII_PHONE_RE))
+    scrubbed = F.regexp_replace(no_ip, PII_PHONE_RE, "<PHONE>")
+    return scrubbed, n_em, n_ip, n_ph
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One call adding all text-analysis columns."""
     c = F.col(text_col)

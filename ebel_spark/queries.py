@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from .ops import dedup as D
+from .ops import sample as S
 from .ops import text as T
 from .ops import vectors as X
 from .ops.multimodal import (extract_features, frame_sample_plan,
@@ -808,6 +809,203 @@ def doc_lang_quality(spark, sf_dir):
         T.lang_id(F.col("text")).alias("lang_pred"),
         T.quality_score(F.col("text")).alias("quality"),
     )
+
+
+@q("doc_split_assign", """
+SELECT doc_id, lang,
+       CASE WHEN b < 9800 THEN 'train'
+            WHEN b < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::UBIGINT % 10000 AS b
+  FROM documents)
+""")
+def doc_split_assign(spark, sf_dir):
+    """Deterministic hash-bucket train/val/test split (98/1/1): membership
+    is a pure function of the id, so eval sets survive corpus refreshes.
+    Row-local column algebra — no shuffle, no RNG state."""
+    d = _t(spark, sf_dir, "documents")
+    return S.split_assign(d).select("doc_id", "lang", "split")
+
+
+@q("doc_mix_sample", """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::UBIGINT % 10000 AS b
+  FROM documents)
+WHERE b < CAST((CASE lang WHEN 'en' THEN 1.0 WHEN 'zh' THEN 0.25
+                          ELSE 0.5 END) * 10000 AS BIGINT)
+""")
+def doc_mix_sample(spark, sf_dir):
+    """Corpus mixing: deterministic per-language downsampling by hash
+    threshold (keep all en, half de/fr/es, a quarter zh).  The mixing salt
+    is disjoint from the split salt so sampling never biases splits."""
+    d = _t(spark, sf_dir, "documents")
+    kept = S.weighted_sample(
+        d, {"en": 1.0, "zh": 0.25, "de": 0.5, "fr": 0.5, "es": 0.5})
+    return kept.select("doc_id", "lang")
+
+
+@q("doc_pack_bins", """
+WITH c AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS BIGINT) AS cost
+  FROM documents)
+SELECT source, doc_id, cost,
+       CAST(floor(coalesce(sum(cost) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) * 1.0 / 1000) AS BIGINT) AS bin_id
+FROM c
+""")
+def doc_pack_bins(spark, sf_dir):
+    """Sequence packing into fixed 1000-token training shards, windowed
+    per source (per-key sort parallelizes across sources; never a global
+    sort)."""
+    d = _tw(spark, sf_dir, "documents")
+    return S.pack_bins(d, T.token_count(F.col("text")), budget=1000)
+
+
+@q("doc_repetition", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), g AS (
+  SELECT doc_id, ts,
+         CASE WHEN len(ts) >= 2 THEN
+           list_transform(range(len(ts) - 1), i -> ts[i+1] || ' ' || ts[i+2])
+         ELSE [] END AS g2
+  FROM toks)
+SELECT doc_id,
+       round(CASE WHEN len(ts) > 0
+             THEN 1.0 - len(list_distinct(ts)) * 1.0 / len(ts)
+             ELSE 0.0 END, 6) AS dup_token_ratio,
+       round(CASE WHEN len(g2) > 0
+             THEN 1.0 - len(list_distinct(g2)) * 1.0 / len(g2)
+             ELSE 0.0 END, 6) AS dup_2gram_ratio
+FROM g
+""")
+def doc_repetition(spark, sf_dir):
+    """Within-document repetition signals (Gopher-style): fraction of
+    tokens / word 2-grams that repeat an earlier occurrence — the standard
+    boilerplate/spam filter input."""
+    d = _tw(spark, sf_dir, "documents")
+    dup1, dup2 = T.repetition_ratios(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(dup1, 6).alias("dup_token_ratio"),
+        F.round(dup2, 6).alias("dup_2gram_ratio"),
+    )
+
+
+#: deterministic synthetic-PII injection shared by the Spark query and its
+#: oracle — the test corpus has no natural PII, so both sides append the
+#: same synthetic emails/IPs/phones before scrubbing (no external data)
+_PII_INJECT_SQL = """concat(text,
+  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com now' ELSE '' END,
+  CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.'
+         || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END,
+  CASE WHEN doc_id % 13 = 0 THEN ' call 555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"""
+
+
+@q("doc_pii_scrub", f"""
+WITH inj AS (
+  SELECT doc_id, {_PII_INJECT_SQL} AS t FROM documents
+), s1 AS (
+  SELECT doc_id, t,
+         len(regexp_extract_all(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                        '<EMAIL>', 'g') AS t1
+  FROM inj
+), s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1,
+           '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b')) AS n_ips,
+         regexp_replace(t1, '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b',
+                        '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_ips AS INTEGER) AS n_ips,
+       CAST(len(regexp_extract_all(t2, '\\b\\d{{3}}-\\d{{4}}\\b'))
+            AS INTEGER) AS n_phones,
+       sha256(regexp_replace(t2, '\\b\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'))
+         AS scrub_sha
+FROM s2
+""")
+def doc_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails / IPv4 / phone patterns) with per-doc redaction
+    counts; the scrubbed text is checked by sha256, so the oracle validates
+    every replacement byte-for-byte."""
+    d = _tw(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.concat(F.lit(" call 555-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0"))
+               ).otherwise(F.lit("")),
+    )
+    scrubbed, n_em, n_ip, n_ph = T.pii_scrub(injected)
+    return d.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_ph.alias("n_phones"),
+        F.sha2(scrubbed, 256).alias("scrub_sha"),
+    )
+
+
+@q("corpus_frequent_ngrams", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct(list_transform(range(len(ts) - 2),
+             i -> array_to_string(ts[i+1:i+3], ' ')))
+         WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+         ELSE [] END AS sh
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+)
+SELECT shingle, count(*) AS doc_freq
+FROM ex GROUP BY shingle HAVING count(*) >= 3
+ORDER BY doc_freq DESC, shingle LIMIT 50
+""")
+def corpus_frequent_ngrams(spark, sf_dir):
+    """Corpus-level boilerplate detection: word 3-gram shingles appearing
+    in >= 3 distinct documents, top-50 by document frequency.  The
+    (doc_freq DESC, shingle ASC) order is a total order, so the LIMIT is
+    deterministic.  Map-side partial aggregation; the exploded shingle
+    stream never materializes per-doc arrays in the shuffle."""
+    d = _tw(spark, sf_dir, "documents")
+    ex = d.select(F.explode(T.shingles(F.col("text"), 3)).alias("shingle"))
+    freq = (
+        ex.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 3)
+    )
+    return freq.orderBy(F.desc("doc_freq"), "shingle").limit(50)
 
 
 @q("doc_minhash_pairs", """

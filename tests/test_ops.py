@@ -225,11 +225,75 @@ class TestMultimodal:
         assert rs and all(min(r.new_width, r.new_height) == 224 for r in rs)
 
 
+class TestSampling:
+    """Behavioral invariants of the deterministic sampling/packing ops."""
+
+    @pytest.fixture()
+    def real_docs(self, spark):
+        return spark.read.parquet(f"{SF}/documents.parquet")
+
+    def test_split_is_stable_under_corpus_growth(self, spark, real_docs):
+        from ebel_spark.ops import sample as S
+        full = S.split_assign(real_docs, "doc_id").select("doc_id", "split")
+        half = S.split_assign(
+            real_docs.where("doc_id % 2 = 0"), "doc_id"
+        ).select("doc_id", "split")
+        joined = full.alias("f").join(half.alias("h"), "doc_id")
+        assert joined.where("f.split <> h.split").count() == 0
+
+    def test_weighted_sample_rate(self, spark):
+        from ebel_spark.ops import sample as S
+        from pyspark.sql import functions as F
+        df = spark.range(20000).select(
+            F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+        kept = S.weighted_sample(df, {"en": 0.25}).count()
+        assert abs(kept / 20000 - 0.25) < 0.02
+
+    def test_pack_bins_budget(self, spark, real_docs):
+        from ebel_spark.ops import sample as S
+        from pyspark.sql import functions as F
+        packed = S.pack_bins(real_docs, F.col("n_chars"), budget=5000)
+        agg = packed.groupBy("source", "bin_id").agg(
+            F.sum("cost").alias("fill"), F.max("cost").alias("mx")).collect()
+        # contiguous-fill: a bin exceeds budget only by (part of) its last doc
+        assert all(r.fill < 5000 + r.mx for r in agg)
+        # bin ids are dense per source starting at 0
+        first = packed.groupBy("source").agg(
+            F.min("bin_id").alias("mn")).collect()
+        assert all(r.mn == 0 for r in first)
+
+    def test_repetition_detects_repeats(self, spark):
+        from ebel_spark.ops import text as T
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [(1, "spam spam spam spam"), (2, "all words here differ")],
+            ["doc_id", "text"])
+        d1, d2 = T.repetition_ratios(F.col("text"))
+        rows = {r.doc_id: r for r in df.select(
+            "doc_id", d1.alias("r1"), d2.alias("r2")).collect()}
+        assert rows[1].r1 == 0.75 and rows[1].r2 == pytest.approx(2 / 3)
+        assert rows[2].r1 == 0.0 and rows[2].r2 == 0.0
+
+    def test_pii_scrub_counts_and_text(self, spark):
+        from ebel_spark.ops import text as T
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame(
+            [(1, "mail a.b@x.io and c@y.org ip 10.0.0.1 tel 555-0199")],
+            ["doc_id", "text"])
+        scrubbed, n_em, n_ip, n_ph = T.pii_scrub(F.col("text"))
+        r = df.select(scrubbed.alias("t"), n_em.alias("e"), n_ip.alias("i"),
+                      n_ph.alias("p")).collect()[0]
+        assert (r.e, r.i, r.p) == (2, 1, 1)
+        assert r.t == "mail <EMAIL> and <EMAIL> ip <IP> tel <PHONE>"
+
+
 class TestContractInline:
     """Spot-check three representative oracle pairs at sf0.001."""
 
     NAMES = ["pricing_summary", "doc_token_counts", "ann_brute_topk",
-             "ann_ivf_exact_topk", "multimodal_byte_stats"]
+             "ann_ivf_exact_topk", "multimodal_byte_stats",
+             "doc_split_assign", "doc_pack_bins", "doc_repetition",
+             "doc_pii_scrub", "corpus_frequent_ngrams"]
 
     @staticmethod
     def _norm(cols, rows):
