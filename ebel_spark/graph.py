@@ -512,3 +512,67 @@ def count_edges_by_class(edges: DataFrame) -> dict:
         for anc in _EDGE_ANCESTORS.get(r["relation"], (r["relation"],)):
             out[anc] = out.get(anc, 0) + r["count"]
     return out
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """PageRank over a directed edge list (columns `src`, `dst`), with
+    uniform redistribution of dangling-node mass.
+
+    Each iteration is one shuffle-partitioned join (ranks ⋈ edges on the
+    source key) plus a map-side-combined aggregation on the destination
+    key — the standard distributed formulation.  The dangling mass is a
+    scalar reduce per iteration (an aggregate action, never a data
+    collect).  Lineage is cut with localCheckpoint each round so the plan
+    stays O(1) deep instead of O(iters).
+
+    At cluster scale, pre-partition `edges` by `src` and keep ranks
+    hash-partitioned on the node key; the per-iteration join then
+    co-locates and only the contribution aggregation shuffles.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("bel"))
+        .union(e.select(F.col("v").alias("bel")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("odeg"))
+    # rank rows carry odeg so the dangling reduce and the contribution
+    # join both run off one cached frame per iteration
+    ranks = (
+        nodes.join(outdeg, nodes["bel"] == outdeg["u"], "left")
+        .select("bel", "odeg", F.lit(1.0 / n).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        dangling = (
+            ranks.filter(F.col("odeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contrib = (
+            e.join(ranks.filter(F.col("odeg").isNotNull()),
+                   e["u"] == ranks["bel"])
+            .groupBy("v")
+            .agg(F.sum(F.col("rank") / F.col("odeg")).alias("contrib"))
+        )
+        ranks = (
+            ranks.drop("rank")
+            .join(contrib, ranks["bel"] == contrib["v"], "left")
+            .select(
+                "bel", "odeg",
+                (F.lit(base) + F.lit(damping)
+                 * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + F.lit(dangling / n))).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("bel", "rank")

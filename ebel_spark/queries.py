@@ -1382,6 +1382,110 @@ def bel_annotation_stats(spark, sf_dir):
     )
 
 
+@q("bel_node_degree", f"""
+WITH e AS (
+  SELECT DISTINCT edge_key, subject_bel, object_bel
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), d AS (
+  SELECT bel, sum(outd) AS out_degree, sum(ind) AS in_degree FROM (
+    SELECT subject_bel AS bel, 1 AS outd, 0 AS ind FROM e
+    UNION ALL
+    SELECT object_bel AS bel, 0 AS outd, 1 AS ind FROM e
+  ) GROUP BY bel
+)
+SELECT bel, CAST(out_degree AS BIGINT) AS out_degree,
+       CAST(in_degree AS BIGINT) AS in_degree,
+       CAST(out_degree + in_degree AS BIGINT) AS degree
+FROM d ORDER BY degree DESC, bel LIMIT 25
+""")
+def bel_node_degree(spark, sf_dir):
+    """Hub statistics over the constructed knowledge graph: in/out/total
+    degree per node across DEDUPED edges, top-25 hubs (deterministic
+    (degree DESC, bel) order).  The reference serves node-degree lookups
+    from OrientDB (web/api/ebel/v1/bel.py:982-1144 path queries walk
+    them); here it is two map-side-combined aggregations and a top-k —
+    no global sort, no driver loop."""
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select("edge_key", "subject_bel", "object_bel")
+        .dropDuplicates(["edge_key"])
+    )
+    deg = (
+        e.select(F.col("subject_bel").alias("bel"),
+                 F.lit(1).alias("outd"), F.lit(0).alias("ind"))
+        .unionAll(e.select(F.col("object_bel").alias("bel"),
+                           F.lit(0).alias("outd"), F.lit(1).alias("ind")))
+        .groupBy("bel")
+        .agg(F.sum("outd").alias("out_degree"),
+             F.sum("ind").alias("in_degree"))
+        .withColumn("degree", (F.col("out_degree") + F.col("in_degree"))
+                    .cast("long"))
+    )
+    return deg.orderBy(F.desc("degree"), "bel").limit(25)
+
+
+def _pagerank_oracle_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Generate the chained-CTE DuckDB twin of graph.pagerank: one CTE per
+    iteration, same dangling-mass redistribution, same damping."""
+    # every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and each
+    # iteration references its predecessor twice (contribution join +
+    # dangling-mass reduce), which would re-evaluate the whole chain
+    # exponentially
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), n AS MATERIALIZED (
+  SELECT u AS bel FROM e UNION SELECT v FROM e
+), nn AS MATERIALIZED (SELECT count(*) AS c FROM n),
+od AS MATERIALIZED (SELECT u, count(*) AS odeg FROM e GROUP BY u),
+r0 AS MATERIALIZED (SELECT bel, 1.0 / (SELECT c FROM nn) AS rank FROM n)"""
+    parts = [head]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT n.bel,
+         (1 - {damping}) / (SELECT c FROM nn)
+         + {damping} * (coalesce(c.contrib, 0)
+             + (SELECT coalesce(sum(r.rank), 0) FROM r{p} r
+                LEFT JOIN od ON od.u = r.bel WHERE od.u IS NULL)
+               / (SELECT c FROM nn)) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.v AS bel, sum(r.rank / od.odeg) AS contrib
+    FROM e JOIN r{p} r ON r.bel = e.u JOIN od ON od.u = e.u
+    GROUP BY e.v) c ON c.bel = n.bel
+)""")
+    parts.append(f"""
+SELECT bel, round(rank, 6) AS rank FROM r{iters}""")
+    return "".join(parts)
+
+
+@q("bel_pagerank", _pagerank_oracle_sql())
+def bel_pagerank(spark, sf_dir):
+    """PageRank over the constructed KG (damping 0.85, 10 iterations,
+    dangling mass redistributed uniformly) — the canonical web-scale
+    iterative graph computation, expressed as per-iteration join+agg
+    DataFrame rounds (graph.pagerank).  The oracle is the same fixed-point
+    unrolled into 10 chained SQL CTEs, so even the iterative op gets a
+    full-value check."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    pr = G.pagerank(e, damping=0.85, iters=10)
+    return pr.select("bel", F.round("rank", 6).alias("rank"))
+
+
 @q("bel_ambiguity_warnings", f"""
 WITH ns AS (
   SELECT * FROM read_parquet('{_OB}/entries/*.parquet') WHERE kind = 'ns'

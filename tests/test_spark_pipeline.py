@@ -335,3 +335,34 @@ class TestLinking:
 
         atp = rows[("abundance", "ATP")]
         assert atp.chebi is not None
+
+
+class TestPageRank:
+    def test_matches_numpy_power_iteration(self, spark):
+        import numpy as np
+        from ebel_spark.graph import pagerank
+
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")]
+        # e is dangling (no out-edges), reachable from nothing
+        nodes = sorted({x for p in edges for x in p} | {"e"})
+        e = spark.createDataFrame(edges, ["u", "v"]).unionAll(
+            spark.createDataFrame([("c", "e")], ["u", "v"]))
+        edges = edges + [("c", "e")]
+
+        idx = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        M = np.zeros((n, n))
+        outd = np.zeros(n)
+        for u, v in edges:
+            outd[idx[u]] += 1
+        for u, v in edges:
+            M[idx[v], idx[u]] = 1.0 / outd[idx[u]]
+        d, r = 0.85, np.full(n, 1.0 / n)
+        for _ in range(10):
+            dangling = r[outd == 0].sum()
+            r = (1 - d) / n + d * (M @ r + dangling / n)
+
+        got = {row.bel: row.rank for row in pagerank(e, iters=10).collect()}
+        for name in nodes:
+            assert abs(got[name] - r[idx[name]]) < 1e-9, name
+        assert abs(sum(got.values()) - 1.0) < 1e-9
