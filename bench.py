@@ -33,6 +33,8 @@ HEADLINE_QUERIES = [
     "doc_token_counts",
     "doc_exact_dups",
     "doc_minhash_pairs",
+    "doc_pack_bins",
+    "doc_pii_scrub",
     "ann_brute_topk",
     "multimodal_features",
 ]

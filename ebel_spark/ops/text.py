@@ -206,6 +206,81 @@ def pii_scrub(col) -> tuple[Column, Column, Column, Column]:
     return scrubbed, n_em, n_ip, n_ph
 
 
+def chunk_texts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 200,
+) -> DataFrame:
+    """Split each document into fixed-token training chunks (map-side
+    explode, no shuffle): chunk i holds tokens [i*C, (i+1)*C).
+
+    Emits (id, chunk_idx, n_tokens, chunk_sha) — the sha256 of the
+    space-joined chunk identifies content without carrying it."""
+    c = chunk_tokens
+    toks = tokens(F.col(text_col))
+    chunks = F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(F.size(toks) / F.lit(c)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(toks, i * c + 1, c), " "),
+    )
+    ex = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_n"),
+        F.posexplode(F.when(F.size(toks) > 0, chunks)
+                     .otherwise(F.array().cast("array<string>")))
+        .alias("chunk_idx", "chunk"),
+    )
+    return ex.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(F.lit(c).cast("long"),
+                F.col("_n") - F.col("chunk_idx") * c).alias("n_tokens"),
+        F.sha2(F.col("chunk"), 256).alias("chunk_sha"),
+    )
+
+
+def contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_overlap: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: fraction of each training document's
+    distinct word n-gram shingles that also occur anywhere in the eval
+    set; rows with overlap >= min_overlap are flagged for removal.
+
+    The eval shingle set is dimension-sized (benchmarks are small), so the
+    membership join broadcasts; the training side is a map-side explode +
+    partial-count aggregation — no all-pairs comparison anywhere."""
+    from pyspark.sql.functions import broadcast
+
+    eval_sh = (
+        eval_df.select(
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col),
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).where(F.size("sh") > 0)
+    ex = tr.select(id_col, F.size("sh").alias("n_sh"),
+                   F.explode("sh").alias("shingle"))
+    hits = (
+        ex.join(broadcast(eval_sh), "shingle")
+        .groupBy(id_col, "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        hits.select(
+            id_col,
+            F.round(F.col("n_hit") / F.col("n_sh"), 6).alias("overlap"))
+        .where(F.col("overlap") >= min_overlap)
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One call adding all text-analysis columns."""
     c = F.col(text_col)

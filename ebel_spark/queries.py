@@ -1008,6 +1008,69 @@ def corpus_frequent_ngrams(spark, sf_dir):
     return freq.orderBy(F.desc("doc_freq"), "shingle").limit(50)
 
 
+@q("doc_chunks", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), ex AS (
+  SELECT doc_id, len(ts) AS n,
+         unnest(range(CAST(ceil(len(ts) / 200.0) AS BIGINT))) AS i, ts
+  FROM toks WHERE len(ts) > 0
+)
+SELECT doc_id, i AS chunk_idx,
+       least(200, n - i * 200) AS n_tokens,
+       sha256(array_to_string(ts[i*200+1 : i*200+200], ' ')) AS chunk_sha
+FROM ex
+""")
+def doc_chunks(spark, sf_dir):
+    """Fixed-token chunking for training-shard construction: map-side
+    explode into 200-token pieces, content identified by sha256 so the
+    oracle checks every chunk boundary byte-for-byte."""
+    d = _tw(spark, sf_dir, "documents")
+    return T.chunk_texts(d, "doc_id", "text", chunk_tokens=200)
+
+
+@q("doc_contamination", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct(list_transform(range(len(ts) - 2),
+             i -> array_to_string(ts[i+1:i+3], ' ')))
+         WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+         ELSE [] END AS sh
+  FROM toks
+), ev AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 50 = 0
+), tr AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle
+  FROM sh WHERE doc_id % 50 <> 0 AND len(sh) > 0
+), hits AS (
+  SELECT tr.doc_id, tr.n_sh, count(*) AS n_hit
+  FROM tr JOIN ev USING (shingle) GROUP BY tr.doc_id, tr.n_sh
+)
+SELECT doc_id, round(n_hit * 1.0 / n_sh, 6) AS overlap
+FROM hits WHERE round(n_hit * 1.0 / n_sh, 6) >= 0.5
+""")
+def doc_contamination(spark, sf_dir):
+    """Benchmark decontamination: training docs whose 3-gram shingle sets
+    overlap an eval set (here: every 50th document, a deterministic
+    stand-in for a benchmark) by >= 50%.  Eval shingles broadcast
+    (benchmarks are dimension-sized); the training side is explode +
+    partial-count — never an all-pairs comparison."""
+    d = _tw(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    tr = d.where(F.col("doc_id") % 50 != 0)
+    return T.contamination(tr, ev, "doc_id", "text",
+                           shingle_n=3, min_overlap=0.5)
+
+
 @q("doc_minhash_pairs", """
 WITH bands AS (
   SELECT * FROM

@@ -274,6 +274,33 @@ class TestSampling:
         assert rows[1].r1 == 0.75 and rows[1].r2 == pytest.approx(2 / 3)
         assert rows[2].r1 == 0.0 and rows[2].r2 == 0.0
 
+    def test_chunking_boundaries(self, spark):
+        from ebel_spark.ops import text as T
+        words = " ".join(f"w{i}" for i in range(450))
+        df = spark.createDataFrame([(1, words), (2, ""), (3, "one two")],
+                                   ["doc_id", "text"])
+        rows = T.chunk_texts(df, chunk_tokens=200).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert sorted(r.n_tokens for r in by_doc[1]) == [50, 200, 200]
+        assert 2 not in by_doc                      # empty doc: no chunks
+        assert [r.n_tokens for r in by_doc[3]] == [2]
+        assert len({r.chunk_sha for r in rows}) == len(rows)
+
+    def test_contamination_flags_eval_copy(self, spark):
+        from ebel_spark.ops import text as T
+        ev = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+            ["doc_id", "text"])
+        tr = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta"),  # copy
+             (2, "totally unrelated words that never appear anywhere")],
+            ["doc_id", "text"])
+        got = {r.doc_id: r.overlap
+               for r in T.contamination(tr, ev, min_overlap=0.5).collect()}
+        assert got == {1: 1.0}
+
     def test_pii_scrub_counts_and_text(self, spark):
         from ebel_spark.ops import text as T
         from pyspark.sql import functions as F
