@@ -45,6 +45,26 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def host_memcpy_gbps(mb: int = 256, reps: int = 3) -> float:
+    """Single-stream DRAM copy bandwidth right now.  The shared-host VM's
+    effective bandwidth swings >10x with neighbor load (BENCH.md measured
+    3.2 GB/s idle; windows of <0.1 GB/s occur), and every shuffle/Arrow/
+    parquet byte rides on it — so each bench run records the window it was
+    measured in."""
+    import numpy as np
+
+    a = np.zeros(mb * 1024 * 1024 // 8)
+    a[:] = 1.0  # fault the pages in before timing
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        b = a.copy()
+        dt = time.time() - t0
+        del b
+        best = dt if best is None or dt < best else best
+    return round(mb / 1024 / best, 2)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int,
@@ -109,6 +129,7 @@ def main(argv=None):
         "queries": per_query,
         "sf": sf,
         "cpus": args.cpus,
+        "host_memcpy_gbps": host_memcpy_gbps(),
     }
 
     if not args.skip_bel:
