@@ -130,3 +130,59 @@ def ensure_docs_oracle_tables(base: str = DOCS_BASE,
     with open(os.path.join(base, _MARKER), "w") as fd:
         fd.write("ok")
     return base
+
+
+# ---------------------------------------------------------------------------
+# embedding-LSH oracle tables
+# ---------------------------------------------------------------------------
+
+GATE_VECS = "/root/testdata/sf0.01/embeddings.parquet"
+VECS_BASE = "/tmp/ebel_spark_oracle_vecs_v1"
+_VMARKER = "_VECS_ORACLE_READY"
+
+
+def _spark_fold_dot(vec, plane) -> float:
+    """Exact twin of ops/vectors.dot for a float32 vector x double plane:
+    Spark's F.aggregate is a sequential left fold in double precision, so
+    the sum MUST accumulate in array order (numpy's pairwise/SIMD
+    summation would round differently and could flip a sign-bit)."""
+    acc = 0.0
+    for x, p in zip(vec, plane):
+        acc += float(x) * p
+    return acc
+
+
+def ensure_vecs_oracle_tables(base: str = VECS_BASE,
+                              vecs_parquet: str = GATE_VECS) -> str:
+    """Driver-side twin of the hyperplane-LSH bucket assignment: the
+    planes are shared parameters (seeded PRNG, like the vocab tables);
+    the dot/sign/bucket computation is recomputed independently of the
+    Spark column algebra.  SQL then re-runs the relational half — bucket
+    equi-joins and exact cosine verification — over these parquets."""
+    if os.path.exists(os.path.join(base, _VMARKER)):
+        return base
+
+    from .ops.vectors import hyperplanes
+
+    vecs = pd.read_parquet(vecs_parquet, columns=["vec_id", "embedding"])
+    tables = {}
+    for name, nbits in (("lsh8_buckets", 8), ("lsh6_buckets", 6)):
+        planes = hyperplanes(64, nbits, seed=42)
+        rows = []
+        for vec_id, emb in zip(vecs["vec_id"], vecs["embedding"]):
+            bucket = 0
+            for i, p in enumerate(planes):
+                if _spark_fold_dot(emb, p) > 0:
+                    bucket |= 1 << i
+            rows.append({"vec_id": int(vec_id), "bucket": bucket})
+        tables[name] = pd.DataFrame(rows).astype(
+            {"vec_id": "int64", "bucket": "int64"})
+
+    os.makedirs(base, exist_ok=True)
+    for name, pdf in tables.items():
+        d = os.path.join(base, name)
+        os.makedirs(d, exist_ok=True)
+        pdf.to_parquet(os.path.join(d, "part-0.parquet"), index=False)
+    with open(os.path.join(base, _VMARKER), "w") as fd:
+        fd.write("ok")
+    return base

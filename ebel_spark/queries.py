@@ -1185,11 +1185,56 @@ def embedding_dup_pairs_exact(spark, sf_dir):
     )
 
 
-@q("ann_lsh_topk")  # rows-only: approximate path, no SQL twin
+@q("ann_lsh_topk", """
+WITH b AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_vecs_v1/lsh8_buckets/*.parquet')
+), v AS (
+  SELECT e.vec_id, e.embedding, b.bucket
+  FROM embeddings e JOIN b USING (vec_id)
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_cosine_similarity(q.embedding, c.embedding), 4)
+           AS cosine
+  FROM v q JOIN v c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+)
+SELECT query_id, corpus_id, cosine, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, corpus_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+""")
 def ann_lsh_topk(spark, sf_dir):
+    """Approximate ANN: sign-bit bucket equi-join + exact cosine re-rank
+    inside buckets.  The oracle recomputes the bucket assignment
+    driver-side (exact Spark-fold double arithmetic) and re-runs the
+    bucket join + ranking in SQL, so the approximate path itself is
+    value-checked — not just its recall vs brute force."""
+    from .ops.vectors import hyperplanes, lsh_bucket
     e = _tw(spark, sf_dir, "embeddings")
-    qdf = e.filter(F.col("vec_id") < 8)
-    return X.lsh_topk(e, qdf, dim=64, k=3, nbits=8)
+    planes = hyperplanes(64, 8, seed=42)
+    b = e.select("vec_id", "embedding",
+                 lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+    q_side = (b.filter(F.col("vec_id") < 8)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("q_vec"), "bucket"))
+    scored = (
+        b.select(F.col("vec_id").alias("corpus_id"),
+                 F.col("embedding").alias("c_vec"), "bucket")
+        .join(F.broadcast(q_side), "bucket")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        # round BEFORE ranking (both sides) so near-tie ordering agrees
+        .withColumn("cosine",
+                    F.round(X.cosine(F.col("q_vec"), F.col("c_vec")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "corpus_id", "cosine", "rnk")
+    )
 
 
 @q("ann_ivf_topk")  # rows-only: approximate path (IVF-flat), no SQL twin
@@ -1225,10 +1270,41 @@ def ann_ivf_exact_topk(spark, sf_dir):
     return X.ivf_topk(e, qdf, dim=64, k=3, nlist=8, nprobe=8, decimals=4)
 
 
-@q("embedding_dup_pairs_lsh")  # rows-only scale path
+@q("embedding_dup_pairs_lsh", """
+WITH b AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_vecs_v1/lsh6_buckets/*.parquet')
+), v AS (
+  SELECT e.vec_id, e.embedding, b.bucket
+  FROM embeddings e JOIN b USING (vec_id)
+)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       round(list_cosine_similarity(l.embedding, r.embedding), 4) AS cosine
+FROM v l JOIN v r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.45
+""")
 def embedding_dup_pairs_lsh(spark, sf_dir):
+    """LSH-bucketed near-dup pairs (the scale path of
+    embedding_dup_pairs_exact).  The oracle rebuilds the bucket keys
+    driver-side and re-runs the bucket self-join + cosine filter in SQL —
+    a full-value check of the approximate candidate generation."""
+    from .ops.vectors import hyperplanes, lsh_bucket
     e = _tw(spark, sf_dir, "embeddings")
-    return X.embedding_cosine_dup_pairs(e, threshold=0.45, dim=64, nbits=6)
+    planes = hyperplanes(64, 6, seed=42)
+    b = e.select(F.col("vec_id").alias("id"),
+                 F.col("embedding").alias("v"),
+                 lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+    from .ops.dedup import _pin
+    b = _pin(b)
+    left = b.select("bucket", F.col("id").alias("a"), F.col("v").alias("va"))
+    right = b.select("bucket", F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_raw", X.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_raw") >= 0.45)
+        .select("a", "b", F.round("cos_raw", 4).alias("cosine"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1835,7 +1911,9 @@ def oracle_sql() -> dict:
     # the bel_* and doc-hash oracles read driver-side parquet projections;
     # build them here too so the SQL works no matter which side the driver
     # runs first
-    from .oracle_docs import ensure_docs_oracle_tables
+    from .oracle_docs import (ensure_docs_oracle_tables,
+                              ensure_vecs_oracle_tables)
     _ensure_oracle()
     ensure_docs_oracle_tables()
+    ensure_vecs_oracle_tables()
     return {name: sql for name, (_, sql) in QUERIES.items() if sql}
