@@ -1008,6 +1008,36 @@ def corpus_frequent_ngrams(spark, sf_dir):
     return freq.orderBy(F.desc("doc_freq"), "shingle").limit(50)
 
 
+@q("doc_length_quantiles", """
+WITH c AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS BIGINT) AS n
+  FROM documents)
+SELECT lang, round(quantile_cont(n, 0.5), 4) AS p50,
+       round(quantile_cont(n, 0.9), 4) AS p90,
+       round(quantile_cont(n, 0.99), 4) AS p99,
+       round(avg(n), 4) AS mean_n
+FROM c GROUP BY lang
+""")
+def doc_length_quantiles(spark, sf_dir):
+    """Corpus length profiling per language: exact interpolated
+    percentiles of token counts (Spark `percentile` and DuckDB
+    `quantile_cont` share linear interpolation — verified digit-exact).
+    The exact percentile sorts within each group; at 100 TB swap in
+    `percentile_approx` for one-pass sketch aggregation — same plan
+    shape, bounded memory."""
+    d = _tw(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.token_count(F.col("text")).alias("n"))
+        .groupBy("lang")
+        .agg(F.round(F.percentile("n", 0.5), 4).alias("p50"),
+             F.round(F.percentile("n", 0.9), 4).alias("p90"),
+             F.round(F.percentile("n", 0.99), 4).alias("p99"),
+             F.round(F.avg("n"), 4).alias("mean_n"))
+    )
+
+
 @q("doc_chunks", """
 WITH toks AS (
   SELECT doc_id,
