@@ -38,6 +38,7 @@ FEATURE_SCHEMA = StructType([
     StructField("asset_id", LongType()),
     StructField("kind", StringType()),
     StructField("n_bytes", IntegerType()),
+    StructField("hist", ArrayType(LongType())),
     StructField("features", ArrayType(FloatType())),
 ])
 
@@ -65,11 +66,13 @@ def synth_assets(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _byte_histogram(buf: bytes, bins: int = 16) -> np.ndarray:
+    """Raw bin counts over [0, 256); with the default 16 bins the bin index
+    is exactly the high nibble of each byte (SQL-checkable via hex())."""
     arr = np.frombuffer(buf, dtype=np.uint8)
     if arr.size == 0:
-        return np.zeros(bins, dtype=np.float32)
+        return np.zeros(bins, dtype=np.int64)
     hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
-    return (hist / arr.size).astype(np.float32)
+    return hist
 
 
 def extract_features(assets: DataFrame, bins: int = 16,
@@ -86,14 +89,20 @@ def extract_features(assets: DataFrame, bins: int = 16,
                 "not present in this environment; the deterministic "
                 "byte-histogram fake exercises the same dataflow")
         for pdf in batches:
-            feats = [
-                _byte_histogram(p if p is not None else b"", bins).tolist()
+            hists = [
+                _byte_histogram(p if p is not None else b"", bins)
                 for p in pdf["payload"]
+            ]
+            feats = [
+                (h / h.sum()).astype(np.float32).tolist() if h.sum() else
+                np.zeros(bins, dtype=np.float32).tolist()
+                for h in hists
             ]
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "kind": pdf["kind"],
                 "n_bytes": [len(p or b"") for p in pdf["payload"]],
+                "hist": [h.tolist() for h in hists],
                 "features": feats,
             })
 

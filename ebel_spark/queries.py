@@ -1338,18 +1338,39 @@ def embedding_dup_pairs_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (rows-only: Pandas-UDF features)
+# multimodal plumbing
 # ---------------------------------------------------------------------------
 
-@q("multimodal_features")
+@q("multimodal_features", """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT doc_id AS asset_id,
+       CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       CAST(nb AS INT) AS n_bytes,
+       array_to_string(
+         list_transform(range(0, 16), n ->
+           len(list_filter(range(1, nb*2 + 1, 2),
+               i -> substring(hx, CAST(i AS INT), 1)
+                    = substring('0123456789ABCDEF', CAST(n AS INT) + 1, 1)))),
+         ',') AS hist
+FROM h
+""")
 def multimodal_features(spark, sf_dir):
-    # features stringified: the driver's canonicalizer can't hash array cells
+    """Full-value check of the Arrow-batched binary feature UDF: with 16
+    bins the byte-histogram bin index is exactly each byte's high nibble,
+    so DuckDB recomputes the counts from hex(encode(text)) — integer
+    parity, no float formatting hazards.  The normalized float features
+    ride the same UDF and stay pytest-checked."""
     d = _tw(spark, sf_dir, "documents")
     assets = synth_assets(d)
     feats = extract_features(assets, bins=16)
     return feats.select(
         "asset_id", "kind", "n_bytes",
-        F.to_json("features").alias("features"),
+        F.array_join(F.transform("hist", lambda c: c.cast("string")),
+                     ",").alias("hist"),
     )
 
 
