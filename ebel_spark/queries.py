@@ -300,6 +300,47 @@ def user_running_value(spark, sf_dir):
     )
 
 
+@q("events_asof_join", """
+WITH r AS (
+  SELECT user_id, ts, max(event_id) AS r_event_id
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+), l AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id,
+       CAST(epoch_us(l.ts) AS BIGINT) AS t_us,
+       r.r_event_id,
+       CAST(epoch_us(r.ts) AS BIGINT) AS r_t_us,
+       round(l.value, 2) AS value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def events_asof_join(spark, sf_dir):
+    """Backward as-of join (ops/temporal.py): every purchase event gets the
+    latest signup at-or-before it for the same user, via the tag-union +
+    running-last window idiom (one shuffle, no range-join pair blowup).
+    Oracle: DuckDB's native ASOF LEFT JOIN on the same inputs; the right
+    side is pre-aggregated to unique (user_id, ts) so exact-tie winners
+    are deterministic on both engines."""
+    from .ops.temporal import asof_join
+    e = _t(spark, sf_dir, "events")
+    r = (e.filter(F.col("event_type") == "signup")
+         .groupBy("user_id", "ts")
+         .agg(F.max("event_id").alias("event_id")))
+    left = e.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts", "value")
+    j = asof_join(left, r, by=["user_id"], ts="ts",
+                  right_payload=["event_id"])
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    return j.select(
+        "event_id", "user_id",
+        us("ts").alias("t_us"),
+        F.col("r_event_id"),
+        us("r_ts").alias("r_t_us"),
+        F.round("value", 2).alias("value"),
+    )
+
+
 @q("user_sessions", """
 WITH gaps AS (
   SELECT user_id,

@@ -199,6 +199,51 @@ class TestVectors:
         assert len(pairs) >= 3
 
 
+class TestAsofJoin:
+    @pytest.fixture(scope="class")
+    def tables(self, spark):
+        from datetime import datetime as dt
+        left = spark.createDataFrame(
+            [(1, 10, dt(2024, 1, 1, 0, 0, 5)),
+             (2, 10, dt(2024, 1, 1, 0, 0, 10)),   # exact tie with right ts
+             (3, 10, dt(2024, 1, 1, 0, 0, 1)),    # before any right row
+             (4, 20, dt(2024, 1, 1, 2, 0, 0))],   # far after right row
+            ["event_id", "user_id", "ts"])
+        right = spark.createDataFrame(
+            [(100, 10, dt(2024, 1, 1, 0, 0, 2)),
+             (101, 10, dt(2024, 1, 1, 0, 0, 10)),
+             (102, 20, dt(2024, 1, 1, 0, 0, 0))],
+            ["state_id", "user_id", "ts"])
+        return left, right
+
+    def test_backward_inclusive(self, tables):
+        from ebel_spark.ops.temporal import asof_join
+        left, right = tables
+        got = {r.event_id: r.r_state_id for r in asof_join(
+            left, right, by=["user_id"], ts="ts",
+            right_payload=["state_id"]).collect()}
+        assert got == {1: 100, 2: 101, 3: None, 4: 102}
+
+    def test_tolerance_voids_stale_match(self, tables):
+        from ebel_spark.ops.temporal import asof_join
+        left, right = tables
+        rows = {r.event_id: r for r in asof_join(
+            left, right, by=["user_id"], ts="ts",
+            right_payload=["state_id"], tolerance_s=60).collect()}
+        assert rows[1].r_state_id == 100       # 3 s old: inside tolerance
+        assert rows[4].r_state_id is None      # 2 h old: voided
+        assert rows[4].r_ts is None
+
+    def test_matched_ts_column(self, tables):
+        from ebel_spark.ops.temporal import asof_join
+        left, right = tables
+        rows = {r.event_id: r for r in asof_join(
+            left, right, by=["user_id"], ts="ts",
+            right_payload=["state_id"]).collect()}
+        assert rows[2].r_ts == rows[2].ts      # exact-tie match is inclusive
+        assert rows[3].r_ts is None
+
+
 class TestMultimodal:
     def test_feature_extraction(self, spark, docs):
         assets = synth_assets(docs, "doc_id", "text")
@@ -320,7 +365,8 @@ class TestContractInline:
     NAMES = ["pricing_summary", "doc_token_counts", "ann_brute_topk",
              "ann_ivf_exact_topk", "multimodal_byte_stats",
              "doc_split_assign", "doc_pack_bins", "doc_repetition",
-             "doc_pii_scrub", "corpus_frequent_ngrams"]
+             "doc_pii_scrub", "corpus_frequent_ngrams",
+             "events_asof_join", "multimodal_features"]
 
     @staticmethod
     def _norm(cols, rows):
@@ -336,7 +382,7 @@ class TestContractInline:
     def test_oracle_agreement(self, spark):
         from ebel_spark.queries import QUERIES
         con = duckdb.connect()
-        for t in ["lineitem", "documents", "embeddings"]:
+        for t in ["lineitem", "documents", "embeddings", "events"]:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
         for name in self.NAMES:
             fn, sql = QUERIES[name]
