@@ -1544,6 +1544,46 @@ def bel_edge_dedup_counts(spark, sf_dir):
     )
 
 
+@q("bel_edge_filter_algebra", f"""
+WITH edges AS (
+  SELECT edge_key AS edge_id, max(relation) AS relation,
+         max(subject_bel) AS subject_bel, max(object_bel) AS object_bel,
+         max(citation_pub_date) AS pub_date, max(anno_json) AS anno_json
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+  GROUP BY edge_key)
+SELECT edge_id, relation, subject_bel, object_bel, pub_date
+FROM edges
+WHERE relation IN ('increases','decreases')
+  AND pub_date BETWEEN '2010-01-01' AND '2016-12-31'
+  AND subject_bel LIKE 'p(%'
+  AND list_contains(CAST(json_extract(anno_json, '$.Cells') AS VARCHAR[]),
+                    'neuron')
+""")
+def bel_edge_filter_algebra(spark, sf_dir):
+    """REST query-layer filter algebra over the REAL deduplicated edges
+    table (web/api/ebel/v1/__init__.py:213-253 + bel.py:138-335): exact
+    relation membership, BETWEEN on the citation struct path, prefix match
+    on the subject BEL string, and list membership inside the annotation
+    map — all Catalyst predicates after the salted edge dedup.  The oracle
+    re-derives the same edges in SQL (payload via max(): every selected
+    column is functionally determined by the 7-tuple edge profile in this
+    corpus, incl. pub_date via citation_ref)."""
+    from . import graph as G
+    from . import parse as P
+    edges = G.materialize_edges(
+        P.statements_table(_bel_oracle_parsed(spark).filter("ok")))
+    return (
+        edges.filter(
+            F.col("relation").isin("increases", "decreases")
+            & F.col("citation.pub_date").between("2010-01-01", "2016-12-31")
+            & F.col("subject_bel").startswith("p(")
+            & F.array_contains(F.col("annotation")["Cells"], "neuron"))
+        .select("edge_id", "relation", "subject_bel", "object_bel",
+                F.col("citation.pub_date").alias("pub_date"))
+    )
+
+
 @q("bel_node_class_counts", f"""
 SELECT node_class, count(DISTINCT bel) AS n_nodes,
        count(*) AS n_occurrences
