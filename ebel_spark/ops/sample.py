@@ -111,3 +111,36 @@ def pack_bins(
         cost_col.cast("long").alias("cost"),
         F.floor(prefix / budget).cast("long").alias("bin_id"),
     )
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    weight_col: Column,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wrs:",
+) -> DataFrame:
+    """Efraimidis-Spirtes weighted sampling WITHOUT replacement: draw a
+    deterministic uniform u in (0, 1) from each row's id hash, score it
+    ln(u) / weight, and keep the global top-k scores - inclusion
+    probability proportional to weight, exactly k rows, single pass.
+
+    The randomness is pseudo-random from md5(salt || id), so the sample is
+    reproducible and SQL-twinnable.  The score is rounded (9 dp) before
+    ranking with the id as tiebreaker, so the top-k cut is stable across
+    engines whose ln() differs in the last ulp.
+
+    Scale shape: orderBy().limit(k) plans as TakeOrderedAndProject -
+    per-partition top-k heaps then a driver merge of k*n_partitions rows,
+    never a full sort or shuffle of the corpus.
+    """
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    u = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+         + F.lit(0.5)) / F.lit(float(1 << 32))
+    score = F.round(F.log(u) / weight_col.cast("double"), 9)
+    return (
+        df.withColumn("weight", weight_col.cast("long"))
+        .withColumn("score", score)
+        .orderBy(F.desc("score"), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -890,6 +890,32 @@ def doc_mix_sample(spark, sf_dir):
     return kept.select("doc_id", "lang")
 
 
+@q("doc_weighted_sample", """
+WITH s AS (
+  SELECT doc_id,
+         n_chars + 1 AS weight,
+         (('0x' || substr(md5('wrs:' || CAST(doc_id AS VARCHAR)), 1, 8))
+            ::UBIGINT + 0.5) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+       round(ln(u) / weight, 9) AS score
+FROM s
+ORDER BY score DESC, doc_id
+LIMIT 50
+""")
+def doc_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirtes weighted sampling without replacement
+    (ops/sample.weighted_topk_sample): exactly k docs, inclusion odds
+    proportional to length, deterministic u from the id hash.  Plans as
+    TakeOrderedAndProject (per-partition top-k heaps, no full sort); the
+    oracle replays the same hash -> uniform -> ln(u)/w -> top-k in SQL,
+    both sides rounding the score before the rank cut."""
+    d = _t(spark, sf_dir, "documents")
+    samp = S.weighted_topk_sample(d, F.col("n_chars") + 1, k=50)
+    return samp.select("doc_id", "weight", "score")
+
+
 @q("doc_pack_bins", """
 WITH c AS (
   SELECT source, doc_id,

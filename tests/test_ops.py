@@ -294,6 +294,24 @@ class TestSampling:
         kept = S.weighted_sample(df, {"en": 0.25}).count()
         assert abs(kept / 20000 - 0.25) < 0.02
 
+    def test_weighted_topk_sample(self, spark):
+        from ebel_spark.ops import sample as S
+        from pyspark.sql import functions as F
+        # ids 0..999 weight 1, ids 1000..1099 weight 1000: the heavy tail
+        # must dominate the sample and the draw must be reproducible
+        df = spark.range(1100).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") >= 1000, F.lit(1000))
+             .otherwise(F.lit(1)).alias("w"))
+        got = S.weighted_topk_sample(df, F.col("w"), k=50)
+        rows = got.collect()
+        assert len(rows) == 50
+        heavy = sum(1 for r in rows if r.doc_id >= 1000)
+        assert heavy >= 40            # ~1000x odds per heavy row
+        again = {r.doc_id for r in
+                 S.weighted_topk_sample(df, F.col("w"), k=50).collect()}
+        assert again == {r.doc_id for r in rows}
+
     def test_pack_bins_budget(self, spark, real_docs):
         from ebel_spark.ops import sample as S
         from pyspark.sql import functions as F
