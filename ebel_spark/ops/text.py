@@ -153,6 +153,41 @@ def fingerprint(col, n: int = 5) -> Column:
     ).otherwise(F.lit(None).cast("long"))
 
 
+def winnow_fingerprints(col, k: int = 4, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS local-match algorithm): positional word k-gram hashes, minimum per
+    sliding window of w, distinct selected values sorted.
+
+    Guarantee: any shared token run of >= w + k - 1 tokens between two
+    documents yields a shared fingerprint, while only ~2/(w+1) of the
+    hashes are kept — local plagiarism/quotation detection that MinHash
+    (global-similarity) misses.  Pure JVM column algebra; degenerate docs
+    (< k tokens) hash their whole token string, mirroring `shingles`."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+        ),
+    ).otherwise(
+        F.when(n > 0, F.array(F.xxhash64(F.array_join(toks, " "))))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    m = F.size(grams)
+    return F.when(
+        m >= w,
+        F.array_sort(F.array_distinct(F.transform(
+            F.sequence(F.lit(0), m - w),
+            lambda i: F.array_min(F.slice(grams, i + 1, w)),
+        ))),
+    ).otherwise(
+        F.when(m > 0, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+
+
 def _grams2(toks) -> Column:
     """All word 2-grams in order (duplicates kept — repetition signal)."""
     return F.when(

@@ -42,6 +42,8 @@ MINHASH_K = 32
 MINHASH_BANDS = 16
 MINHASH_SHINGLE_N = 3
 FINGERPRINT_N = 5
+WINNOW_K = 4
+WINNOW_W = 4
 
 
 def _tokens(text: str) -> list[str]:
@@ -62,16 +64,41 @@ def _shingles(toks: list[str], n: int) -> list[str]:
 def ensure_docs_oracle_tables(base: str = DOCS_BASE,
                               docs_parquet: str = GATE_DOCS) -> str:
     """Build the doc-op oracle parquet tables if absent; returns base."""
-    if os.path.exists(os.path.join(base, _MARKER)):
+    # the winnow check forces a one-time rebuild of dirs created before
+    # that table existed (the rebuild rewrites every table, idempotent)
+    if (os.path.exists(os.path.join(base, _MARKER))
+            and os.path.isdir(os.path.join(base, "winnow"))):
         return base
 
     docs = pd.read_parquet(docs_parquet, columns=["doc_id", "text"])
     rows_per_band = MINHASH_K // MINHASH_BANDS
 
-    fp_rows, band_rows, sh_rows, sim_rows = [], [], [], []
+    fp_rows, band_rows, sh_rows, sim_rows, win_rows = [], [], [], [], []
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
         doc_id = int(doc_id)
         toks = _tokens(text)
+
+        # winnowing (ops/text.winnow_fingerprints twin): positional k-gram
+        # hashes -> min per window of w -> distinct selected values
+        if len(toks) >= WINNOW_K:
+            grams = [
+                spark_xxhash64_str(" ".join(toks[i:i + WINNOW_K]))
+                for i in range(len(toks) - WINNOW_K + 1)
+            ]
+        elif toks:
+            grams = [spark_xxhash64_str(" ".join(toks))]
+        else:
+            grams = []
+        if len(grams) >= WINNOW_W:
+            sel = sorted({
+                min(grams[i:i + WINNOW_W])
+                for i in range(len(grams) - WINNOW_W + 1)
+            })
+        elif grams:
+            sel = [min(grams)]
+        else:
+            sel = []
+        win_rows.extend({"doc_id": doc_id, "fp": v} for v in sel)
 
         # fingerprint: min xxhash64 over 5-gram shingles (1-perm MinHash)
         sh5 = _shingles(toks, FINGERPRINT_N)
@@ -122,6 +149,9 @@ def ensure_docs_oracle_tables(base: str = DOCS_BASE,
         "minhash_sh": pd.DataFrame(sh_rows),
         "simhash_docs": pd.DataFrame(sim_rows).astype(
             {"id": "int64", "sim": "int64"}),
+        "winnow": pd.DataFrame(
+            win_rows, columns=["doc_id", "fp"]).astype(
+            {"doc_id": "int64", "fp": "int64"}),
     }
     for name, pdf in tables.items():
         d = os.path.join(base, name)

@@ -681,6 +681,60 @@ def doc_fingerprints(spark, sf_dir):
                     T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@q("doc_winnow_fingerprints", """
+SELECT doc_id, fp
+FROM read_parquet('/tmp/ebel_spark_oracle_docs_v1/winnow/*.parquet')
+""")
+def doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (SIGMOD'03 MOSS) local-match fingerprints vs the pure-
+    Python xxhash64 twin: word 4-gram hashes, min per window of 4,
+    distinct selections.  Any shared run of >= 7 tokens across documents
+    is guaranteed a shared fingerprint."""
+    d = _tw(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(T.winnow_fingerprints(F.col("text"))).alias("fp"))
+
+
+@q("doc_winnow_overlap_pairs", """
+WITH w AS (
+  SELECT doc_id, fp
+  FROM read_parquet('/tmp/ebel_spark_oracle_docs_v1/winnow/*.parquet')
+), rare AS (
+  SELECT fp FROM w GROUP BY fp HAVING count(*) BETWEEN 2 AND 20
+)
+SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+FROM w a JOIN rare USING (fp) JOIN w b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+""")
+def doc_winnow_overlap_pairs(spark, sf_dir):
+    """Local-overlap candidate pairs: documents sharing >= 3 winnow
+    fingerprints (quotation/boilerplate overlap that global MinHash
+    similarity misses).  Candidate generation is an equi-join on the
+    fingerprint — never all-pairs — with an explicit document-frequency
+    cap (fp in 2..20 docs) as the skew guard, same design as the rare-
+    shingle inverted index in doc_ngram_jaccard_pairs."""
+    d = _tw(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(T.winnow_fingerprints(F.col("text"))).alias("fp"))
+    from .ops.dedup import _pin
+    w = _pin(w)
+    rare = (w.groupBy("fp").count()
+            .filter(F.col("count").between(2, 20)).select("fp"))
+    wr = w.join(rare, "fp")
+    pairs = (
+        wr.select("fp", F.col("doc_id").alias("a"))
+        .join(w.select("fp", F.col("doc_id").alias("b")), "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    return pairs
+
+
 # ---------------------------------------------------------------------------
 # deduplication (documents)
 # ---------------------------------------------------------------------------

@@ -53,6 +53,34 @@ class TestText:
         assert rows[0] != rows[2]
         assert rows[5] is None
 
+    def test_winnow_guarantee_and_twin(self, spark):
+        from ebel_spark.oracle_docs import WINNOW_K, WINNOW_W
+        from ebel_spark.oracle_xxh import spark_xxhash64_str
+        shared = "alpha beta gamma delta epsilon zeta eta"  # 7-token run
+        rows = [
+            (0, "one two three " + shared + " four five six"),
+            (1, shared + " seven eight nine ten eleven twelve"),
+            (2, "totally unrelated words without any overlap at all here"),
+            (3, "tiny"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: set(r.fps) for r in df.select(
+            "doc_id", T.winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()}
+        # winnowing guarantee: a shared run of >= w + k - 1 tokens yields
+        # a shared fingerprint
+        assert got[0] & got[1]
+        assert not (got[0] & got[2])
+        # twin parity: pure-Python winnow reproduces the Spark values
+        toks = rows[3][1].split()
+        assert got[3] == {spark_xxhash64_str(" ".join(toks))}
+        toks0 = rows[0][1].split()
+        grams = [spark_xxhash64_str(" ".join(toks0[i:i + WINNOW_K]))
+                 for i in range(len(toks0) - WINNOW_K + 1)]
+        sel = {min(grams[i:i + WINNOW_W])
+               for i in range(len(grams) - WINNOW_W + 1)}
+        assert got[0] == sel
+
     def test_quality_monotonic(self, docs):
         rows = {r.doc_id: r.q for r in docs.select(
             "doc_id", T.quality_score(F.col("text")).alias("q")).collect()}
