@@ -316,6 +316,62 @@ def contamination(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Inverted-index keyword search with BM25 ranking (Robertson/Walker):
+    score(d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+
+    Scale shape: the posting explode is filtered to the |query| terms
+    BEFORE the shuffle, so shuffled volume is O(matching postings), not
+    O(corpus tokens); per-(doc, term) tf via map-side-combined groupBy;
+    the final cut is TakeOrderedAndProject (per-partition heaps).
+    Corpus stats (N, sum dl — exact integer aggregates) and per-term
+    document frequencies (<= |query| rows) are the only driver actions.
+
+    Determinism for the SQL twin: per-term contributions use idf rounded
+    to 6 dp and are added in query-term order (a fixed-order fold, no
+    float-summation nondeterminism); the caller rounds the final score.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), F.size(toks).alias("dl"),
+                     F.explode(toks).alias("term")) \
+        .where(F.col("term").isin(list(query_terms)))
+    tf = base.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    n_docs, sum_dl = df.select(
+        F.count(F.lit(1)), F.sum(F.size(toks)).cast("long")).first()
+    avgdl = float(sum_dl) / float(n_docs)
+    dfreq = {r["term"]: r["df"] for r in
+             tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+             .collect()}
+    import math
+    piv = tf.groupBy(id_col, "dl").pivot("term", list(query_terms)) \
+        .agg(F.first("tf"))
+    score = F.lit(0.0)
+    for t in query_terms:
+        dft = dfreq.get(t, 0)
+        idf = round(math.log(1.0 + (n_docs - dft + 0.5) / (dft + 0.5)), 6)
+        tfc = F.col(t).cast("double")
+        wt = (tfc * (k1 + 1.0)
+              / (tfc + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))))
+        score = score + F.when(F.col(t).isNotNull(),
+                               F.lit(idf) * wt).otherwise(F.lit(0.0))
+    return (
+        piv.withColumn("score", score)
+        .orderBy(F.desc("score"), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "dl", F.round("score", 4).alias("score"))
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One call adding all text-analysis columns."""
     c = F.col(text_col)

@@ -1092,6 +1092,58 @@ def doc_pii_scrub(spark, sf_dir):
     )
 
 
+@q("doc_bm25_topk", """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = 'join')) AS tf_join,
+         len(list_filter(toks, x -> x = 'hash')) AS tf_hash,
+         len(list_filter(toks, x -> x = 'scan')) AS tf_scan
+  FROM d
+), s AS (
+  SELECT count(*) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         count(*) FILTER (WHERE tf_join > 0) AS df_join,
+         count(*) FILTER (WHERE tf_hash > 0) AS df_hash,
+         count(*) FILTER (WHERE tf_scan > 0) AS df_scan
+  FROM t
+), sc AS (
+  SELECT doc_id, dl,
+      (CASE WHEN tf_join > 0 THEN
+         round(ln(1 + (n - df_join + 0.5) / (df_join + 0.5)), 6)
+         * (tf_join * (1.2 + 1.0)
+            / (tf_join + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+       ELSE 0.0 END)
+    + (CASE WHEN tf_hash > 0 THEN
+         round(ln(1 + (n - df_hash + 0.5) / (df_hash + 0.5)), 6)
+         * (tf_hash * (1.2 + 1.0)
+            / (tf_hash + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+       ELSE 0.0 END)
+    + (CASE WHEN tf_scan > 0 THEN
+         round(ln(1 + (n - df_scan + 0.5) / (df_scan + 0.5)), 6)
+         * (tf_scan * (1.2 + 1.0)
+            / (tf_scan + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+       ELSE 0.0 END) AS score
+  FROM t, s
+  WHERE tf_join + tf_hash + tf_scan > 0
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, round(score, 4) AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT 25
+""")
+def doc_bm25_topk(spark, sf_dir):
+    """Inverted-index keyword search with BM25 ranking
+    (ops/text.bm25_topk): posting explode filtered to the query terms
+    before any shuffle, map-side-combined tf, TakeOrderedAndProject cut.
+    The oracle recomputes the identical fixed-order score fold in SQL
+    (idf rounded to 6 dp on both sides kills ln() last-ulp divergence)."""
+    d = _tw(spark, sf_dir, "documents")
+    return T.bm25_topk(d, ["join", "hash", "scan"], k=25)
+
+
 @q("corpus_frequent_ngrams", """
 WITH toks AS (
   SELECT doc_id,

@@ -277,9 +277,22 @@ def write_error_report(errors: DataFrame, path: str) -> str:
     elif path.endswith(".txt"):
         with open(path, "w", encoding="utf-8") as fd:
             fd.write(pdf.to_string(index=False))
+    elif path.endswith(".md"):
+        with open(path, "w", encoding="utf-8") as fd:
+            cols = list(pdf.columns)
+            fd.write("| " + " | ".join(cols) + " |\n")
+            fd.write("|" + "---|" * len(cols) + "\n")
+            for row in pdf.itertuples(index=False):
+                cells = ["" if v is None or v != v else
+                         str(v).replace("|", "\\|").replace("\n", " ")
+                         for v in row]
+                fd.write("| " + " | ".join(cells) + " |\n")
+    elif path.endswith(".html"):
+        with open(path, "w", encoding="utf-8") as fd:
+            fd.write(pdf.to_html(index=False, na_rep=""))
     else:
         raise ValueError(f"unsupported report suffix: {path} "
-                         "(use .csv/.tsv/.json/.txt)")
+                         "(use .csv/.tsv/.json/.txt/.md/.html)")
     return path
 
 

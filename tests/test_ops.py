@@ -81,6 +81,21 @@ class TestText:
                for i in range(len(grams) - WINNOW_W + 1)}
         assert got[0] == sel
 
+    def test_bm25_ranking(self, spark):
+        rows = [
+            (0, "spark shuffle join join join"),          # high tf, short
+            (1, "spark shuffle join"),                    # one hit, short
+            (2, "join " + "filler " * 50),                # one hit, long
+            (3, "no relevant words here at all"),         # no hit
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = T.bm25_topk(df, ["join"], k=10).collect()
+        ids = [r.doc_id for r in got]
+        assert 3 not in ids                   # non-matching doc excluded
+        assert ids[0] == 0                    # highest tf wins
+        s = {r.doc_id: r.score for r in got}
+        assert s[1] > s[2]                    # length normalization
+
     def test_quality_monotonic(self, docs):
         rows = {r.doc_id: r.q for r in docs.select(
             "doc_id", T.quality_score(F.col("text")).alias("q")).collect()}

@@ -89,6 +89,14 @@ class TestPipelineE2E:
             "file_sha", "error_class", "url", "keyword", "entry",
             "line_number", "column", "hint"]
         assert len(pdf) == out["metrics"]["n_errors"]
+        # reference also emits markdown/html reports (validate.py:252-354)
+        md = V.write_error_report(errors, str(tmp_path / "report.md"))
+        lines = open(md, encoding="utf-8").read().splitlines()
+        assert lines[0].startswith("| file_sha | error_class |")
+        assert len(lines) == len(pdf) + 2           # header + separator
+        html = V.write_error_report(errors, str(tmp_path / "report.html"))
+        body = open(html, encoding="utf-8").read()
+        assert body.count("<tr>") >= len(pdf)
 
     def test_repair_flag_end_to_end(self, spark, tmp_path):
         """A corpus whose statements use snake_cased relations parses clean
