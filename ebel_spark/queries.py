@@ -1092,6 +1092,127 @@ def doc_pii_scrub(spark, sf_dir):
     )
 
 
+@q("doc_training_manifest", """
+WITH RECURSIVE base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+), ex AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY text) AS canon
+    FROM base) WHERE doc_id = canon
+), toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM ex
+), sh AS (
+  SELECT doc_id, text, ts,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct(list_transform(range(len(ts) - 2),
+             i -> array_to_string(ts[i+1:i+3], ' ')))
+         WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+         ELSE [] END AS sh
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM ex
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+), cc AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+), rep AS (
+  SELECT id FROM (
+    SELECT cc.id, row_number() OVER (
+        PARTITION BY cc.cluster_id
+        ORDER BY length(ex.text) DESC, cc.id ASC) AS rn
+    FROM cc JOIN ex ON ex.doc_id = cc.id) WHERE rn = 1
+), evsh AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(ts) >= 3 THEN
+      list_distinct(list_transform(range(len(ts) - 2),
+        i -> array_to_string(ts[i+1:i+3], ' ')))
+    WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+    ELSE [] END) AS shingle
+  FROM (
+    SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '') AS ts
+    FROM documents WHERE doc_id % 50 = 0)
+), contam AS (
+  SELECT doc_id FROM (
+    SELECT tr.doc_id, tr.n_sh, count(*) AS n_hit
+    FROM (SELECT sh.doc_id, len(sh.sh) AS n_sh, unnest(sh.sh) AS shingle
+          FROM sh JOIN rep ON rep.id = sh.doc_id
+          WHERE len(sh.sh) > 0) tr
+    JOIN evsh USING (shingle) GROUP BY tr.doc_id, tr.n_sh)
+  WHERE round(n_hit * 1.0 / n_sh, 6) >= 0.5
+), kept AS (
+  SELECT sh.doc_id, len(sh.ts) AS n_tokens
+  FROM sh JOIN rep ON rep.id = sh.doc_id
+  WHERE sh.doc_id NOT IN (SELECT doc_id FROM contam)
+    AND len(sh.ts) >= 20
+), split AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN b < 9800 THEN 'train'
+              WHEN b < 9900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, n_tokens,
+           ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             ::UBIGINT % 10000 AS b
+    FROM kept)
+)
+SELECT doc_id, split, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+           PARTITION BY split ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / 4096) AS BIGINT) AS bin_id
+FROM split
+""")
+def doc_training_manifest(spark, sf_dir):
+    """Flagship training-data pipeline — the full preprocessing DAG as ONE
+    composed query, every stage an already-oracled operator:
+      benchmark holdout (every 50th doc) -> exact dedup (keep min id per
+      identical text) -> near-dup clustering (rare-shingle Jaccard pairs
+      -> connected components, longest-text representative survives) ->
+      benchmark decontamination (drop >= 50% shingle overlap with the
+      holdout) -> quality gate (>= 20 tokens) -> deterministic 98/1/1
+      hash split -> fixed-budget sequence packing (4096-token bins).
+    Output: the shard manifest (doc_id, split, n_tokens, bin_id).  The
+    oracle replays the identical DAG in SQL (recursive CTE for the
+    components)."""
+    from .ops.dedup import _pin
+    d = _tw(spark, sf_dir, "documents")
+    ev = d.where(F.col("doc_id") % 50 == 0)
+    tr0 = d.where(F.col("doc_id") % 50 != 0)
+    ex = D.exact_dedup(tr0, "doc_id", "text")
+    keep1 = _pin(tr0.join(
+        ex.where(~F.col("is_dup")).select(F.col("id").alias("doc_id")),
+        "doc_id"))
+    pairs = D.ngram_jaccard_pairs(keep1, "doc_id", "text", shingle_n=3,
+                                  threshold=0.5, max_df=1000)
+    cl = D.dup_clusters(keep1, pairs, "doc_id", F.length("text"))
+    keep2 = _pin(keep1.join(
+        cl.where("is_rep").select(F.col("id").alias("doc_id")), "doc_id"))
+    contam = T.contamination(keep2, ev, "doc_id", "text",
+                             shingle_n=3, min_overlap=0.5).select("doc_id")
+    keep3 = keep2.join(contam, "doc_id", "left_anti")
+    keep4 = keep3.withColumn(
+        "n_tokens", T.token_count(F.col("text")).cast("long")) \
+        .where(F.col("n_tokens") >= 20)
+    sp = S.split_assign(keep4)
+    packed = S.pack_bins(sp, F.col("n_tokens"), budget=4096,
+                         part_col="split", order_col="doc_id")
+    return packed.select("doc_id", "split",
+                         F.col("cost").alias("n_tokens"), "bin_id")
+
+
 @q("doc_bm25_topk", """
 WITH d AS (
   SELECT doc_id,
