@@ -37,6 +37,9 @@ HEADLINE_QUERIES = [
     "doc_pii_scrub",
     "ann_brute_topk",
     "multimodal_features",
+    "events_asof_join",
+    "doc_bm25_topk",
+    "doc_winnow_fingerprints",
 ]
 
 

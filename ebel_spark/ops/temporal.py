@@ -44,6 +44,10 @@ def asof_join(
     """
     by = list(by)
     pcols = [prefix + c for c in right_payload] + [prefix + ts]
+    clash = set(pcols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"left side already has prefixed payload columns: {clash}")
     rsel = right.select(
         *by,
         F.col(ts),

@@ -340,6 +340,9 @@ def bm25_topk(
     to 6 dp and are added in query-term order (a fixed-order fold, no
     float-summation nondeterminism); the caller rounds the final score.
     """
+    clash = set(query_terms) & {id_col, "dl", "score"}
+    if clash:
+        raise ValueError(f"query terms collide with output columns: {clash}")
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), F.size(toks).alias("dl"),
                      F.explode(toks).alias("term")) \
