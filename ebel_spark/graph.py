@@ -576,3 +576,157 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("bel", "rank")
+
+
+def undirected_edges(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Canonicalize a directed edge list to distinct undirected pairs
+    (a < b), dropping self-loops.  One distinct shuffle; every undirected
+    graph op below starts here."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (the compact-forward / node-iterator++ scheme).
+
+    Every edge is oriented from its lower (degree, id) endpoint to the
+    higher one, so wedge generation fans out from each node by its
+    OUT-degree in the orientation — bounded by O(sqrt(m)) on any graph
+    instead of the raw hub degree.  Each triangle {u,v,w} with key order
+    ku < kv < kw is then enumerated exactly once: both (u,v) and (u,w)
+    leave u, and the closing edge is oriented v -> w.  All joins are
+    equi-joins on node keys (shuffle-hash/broadcast eligible); nothing is
+    quadratic in hub degree, which is what makes this survive power-law
+    graphs at 100 TB.
+
+    Returns (bel, n_triangles) for nodes in >= 1 triangle.
+    """
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a", "b",
+            F.struct(F.col("da").alias("d"), F.col("a").alias("n")).alias("ka"),
+            F.struct(F.col("db").alias("d"), F.col("b").alias("n")).alias("kb"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kt"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select(F.col("s"), F.col("t").alias("v"), F.col("kt").alias("kv"))
+    o2 = oriented.select(F.col("s"), F.col("t").alias("w"), F.col("kt").alias("kw"))
+    wedges = (
+        o1.join(o2, "s")
+        .filter(F.col("kv") < F.col("kw"))
+        .select("s", "v", "w")
+    )
+    closing = oriented.select(F.col("s").alias("v"), F.col("t").alias("w"))
+    tris = wedges.join(closing, ["v", "w"], "left_semi")
+    return (
+        tris.select(F.explode(F.array("s", "v", "w")).alias("bel"))
+        .groupBy("bel")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    source: DataFrame,
+    max_depth: int = 6,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Single-source shortest-path depths over a DIRECTED edge list by
+    frontier-expansion BFS: each level is one equi-join (frontier x edges
+    on the source key) plus an anti-join against the visited set — the
+    standard Pregel level-synchronous formulation as DataFrame rounds,
+    with localCheckpoint cutting lineage per level.
+
+    `source` is a 1-row DataFrame with a `bel` column (kept as a frame so
+    the whole computation stays declarative — no driver-side collect of
+    graph data).  Returns (bel, dist) for every node within `max_depth`.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    visited = source.select("bel", F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(frontier.select(F.col("bel").alias("u")), "u", "left_semi")
+            .select(F.col("v").alias("bel"))
+            .distinct()
+            .join(visited, "bel", "left_anti")
+            .select("bel", F.lit(depth).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    threshold: float = 0.5,
+    max_hub: int = 64,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Structural-equivalence candidate pairs for KG entity resolution:
+    Jaccard similarity of (undirected) neighbor sets, computed by a
+    co-neighbor inverted index — for each shared neighbor h, all node
+    pairs adjacent to h, grouped and counted.  Never all-pairs.
+
+    Skew guard: neighbors with degree > `max_hub` are excluded from the
+    neighbor sets on BOTH sides of the similarity (same role as the
+    rare-shingle `max_df` cap in ops/dedup.ngram_jaccard_pairs) — a
+    super-hub contributes quadratic candidate fanout and near-zero
+    similarity signal.  The score is exact Jaccard over the capped
+    neighbor universe: |N'(x) ∩ N'(y)| / (|N'(x)| + |N'(y)| - |∩|),
+    integer counts and a single division, so it is float-stable.
+
+    Returns (x, y, inter, jaccard) with x < y and jaccard >= threshold,
+    jaccard rounded to 6 dp.
+    """
+    und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("h")).unionAll(
+        und.select(F.col("b").alias("n"), F.col("a").alias("h")))
+    hub_ok = (
+        adj.groupBy("h").agg(F.count(F.lit(1)).alias("hd"))
+        .filter(F.col("hd") <= max_hub)
+        .select("h")
+    )
+    capped = adj.join(hub_ok, "h", "left_semi").localCheckpoint(eager=True)
+    deg = capped.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        capped.select("h", F.col("n").alias("x"))
+        .join(capped.select("h", F.col("n").alias("y")), "h")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        pairs.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("dx") + F.col("dy") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return scored.select(
+        "x", "y", F.col("inter").cast("long").alias("inter"),
+        F.round("jaccard", 6).alias("jaccard"))

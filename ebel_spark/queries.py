@@ -2010,6 +2010,147 @@ def bel_pagerank(spark, sf_dir):
     return pr.select("bel", F.round("rank", 6).alias("rank"))
 
 
+@q("bel_triangle_counts", f"""
+WITH e0 AS (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM e0 WHERE u <> v
+), tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT bel, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS bel FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+) GROUP BY bel
+""")
+def bel_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts over the constructed KG — the classic
+    clustering/community primitive.  The Spark side uses degree-ordered
+    compact-forward orientation (graph.triangle_counts) so wedge fanout
+    is bounded by O(sqrt(m)) per node on power-law graphs; the oracle
+    enumerates each triangle once via the simple a<b<c three-way join —
+    different physical scheme, identical per-node counts."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    return G.triangle_counts(e)
+
+
+def _bfs_oracle_sql(max_depth: int = 6) -> str:
+    """Chained-CTE DuckDB twin of graph.bfs_depths: one frontier CTE per
+    level, anti-joined against the visited set (all MATERIALIZED — each
+    level references its predecessors repeatedly)."""
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), deg AS MATERIALIZED (
+  SELECT bel, count(*) AS d FROM (
+    SELECT u AS bel FROM e UNION ALL SELECT v FROM e) GROUP BY bel
+), f0 AS MATERIALIZED (SELECT bel FROM deg ORDER BY d DESC, bel LIMIT 1),
+d0 AS MATERIALIZED (SELECT bel, 0 AS dist FROM f0)"""
+    parts = [head]
+    for k in range(1, max_depth + 1):
+        p = k - 1
+        parts.append(f""",
+f{k} AS MATERIALIZED (
+  SELECT DISTINCT e.v AS bel FROM e JOIN f{p} ON e.u = f{p}.bel
+  WHERE e.v NOT IN (SELECT bel FROM d{p})
+), d{k} AS MATERIALIZED (
+  SELECT * FROM d{p} UNION ALL SELECT bel, {k} FROM f{k})""")
+    parts.append(f"""
+SELECT bel, CAST(dist AS INT) AS dist FROM d{max_depth}""")
+    return "".join(parts)
+
+
+@q("bel_bfs_depths", _bfs_oracle_sql())
+def bel_bfs_depths(spark, sf_dir):
+    """Single-source BFS shortest-path depths from the top-degree hub
+    (deterministically selected: degree DESC, bel) over the directed KG,
+    to depth 6 — level-synchronous frontier expansion as DataFrame
+    rounds (graph.bfs_depths), the Pregel pattern Spark GraphX uses.
+    The oracle unrolls the same fixpoint into chained SQL CTEs."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("bel"))
+        .unionAll(e.select(F.col("v").alias("bel")))
+        .groupBy("bel")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hub = deg.orderBy(F.desc("d"), "bel").limit(1).select("bel")
+    return G.bfs_depths(e, hub, max_depth=6).select(
+        "bel", F.col("dist").cast("int").alias("dist"))
+
+
+@q("bel_neighbor_jaccard", f"""
+WITH e0 AS (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM e0 WHERE u <> v
+), adj AS MATERIALIZED (
+  SELECT a AS n, b AS h FROM und UNION ALL SELECT b, a FROM und
+), hub_ok AS MATERIALIZED (
+  SELECT h FROM (SELECT h, count(*) AS c FROM adj GROUP BY h)
+  WHERE c <= 64
+), capped AS MATERIALIZED (
+  SELECT adj.n, adj.h FROM adj JOIN hub_ok USING (h)
+), deg AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM capped GROUP BY n
+), pairs AS (
+  SELECT a1.n AS x, a2.n AS y, count(*) AS inter
+  FROM capped a1 JOIN capped a2 ON a1.h = a2.h AND a1.n < a2.n
+  GROUP BY a1.n, a2.n
+)
+SELECT x, y, CAST(inter AS BIGINT) AS inter,
+       round(inter * 1.0 / (dx.d + dy.d - inter), 6) AS jaccard
+FROM pairs
+JOIN deg dx ON dx.n = pairs.x
+JOIN deg dy ON dy.n = pairs.y
+WHERE inter * 1.0 / (dx.d + dy.d - inter) >= 0.5
+""")
+def bel_neighbor_jaccard(spark, sf_dir):
+    """Structural-equivalence pairs for KG entity resolution: Jaccard of
+    undirected neighbor sets >= 0.5 via a co-neighbor inverted index
+    (graph.neighbor_jaccard), with super-hub neighbors (degree > 64)
+    excluded from both sides as the skew cap.  Integer set sizes and a
+    single double division keep the score hash-exact vs the SQL twin."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    return G.neighbor_jaccard(e, threshold=0.5, max_hub=64)
+
+
 @q("bel_ambiguity_warnings", f"""
 WITH ns AS (
   SELECT * FROM read_parquet('{_OB}/entries/*.parquet') WHERE kind = 'ns'

@@ -1,0 +1,91 @@
+"""Hand-computed expectations for the KG graph analytics operators
+(triangle counts, BFS depths, neighbor Jaccard) on tiny fixed graphs.
+
+The gate queries (bel_triangle_counts / bel_bfs_depths /
+bel_neighbor_jaccard) cross-check the same operators against DuckDB SQL
+twins on the full oracle corpus; these tests pin the semantics on graphs
+small enough to verify by eye.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ebel_spark import graph as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u string, v string")
+
+
+class TestTriangles:
+    def test_single_triangle_plus_tail(self, spark):
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+        got = {r["bel"]: r["n_triangles"]
+               for r in G.triangle_counts(e).collect()}
+        assert got == {"a": 1, "b": 1, "c": 1}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        # same triangle expressed with reversed/duplicated directed edges
+        e = _edges(spark, [("b", "a"), ("a", "b"), ("c", "b"), ("a", "c")])
+        got = {r["bel"]: r["n_triangles"]
+               for r in G.triangle_counts(e).collect()}
+        assert got == {"a": 1, "b": 1, "c": 1}
+
+    def test_k4_counts(self, spark):
+        # K4: 4 triangles, each node in exactly 3
+        nodes = ["a", "b", "c", "d"]
+        e = _edges(spark, [(x, y) for x in nodes for y in nodes if x < y])
+        got = {r["bel"]: r["n_triangles"]
+               for r in G.triangle_counts(e).collect()}
+        assert got == {n: 3 for n in nodes}
+
+    def test_square_has_none(self, spark):
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+        assert G.triangle_counts(e).count() == 0
+
+
+class TestBfs:
+    def test_depths_follow_direction(self, spark):
+        e = _edges(spark, [("s", "a"), ("a", "b"), ("b", "c"), ("s", "b"),
+                           ("x", "s")])  # x->s must NOT pull x in
+        src = spark.createDataFrame([("s",)], "bel string")
+        got = {r["bel"]: r["dist"]
+               for r in G.bfs_depths(e, src, max_depth=6).collect()}
+        assert got == {"s": 0, "a": 1, "b": 1, "c": 2}
+
+    def test_max_depth_truncates(self, spark):
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        src = spark.createDataFrame([("a",)], "bel string")
+        got = {r["bel"]: r["dist"]
+               for r in G.bfs_depths(e, src, max_depth=2).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+
+class TestNeighborJaccard:
+    def test_identical_neighbor_sets(self, spark):
+        # x and y share exactly {h1, h2}: jaccard 1.0 (and symmetrically
+        # h1/h2 share {x, y})
+        e = _edges(spark, [("x", "h1"), ("x", "h2"), ("y", "h1"), ("y", "h2")])
+        rows = G.neighbor_jaccard(e, threshold=0.5).collect()
+        got = {(r["x"], r["y"]): (r["inter"], r["jaccard"]) for r in rows}
+        assert got == {("x", "y"): (2, 1.0), ("h1", "h2"): (2, 1.0)}
+
+    def test_partial_overlap_threshold(self, spark):
+        # N(x)={h1,h2,h3}, N(y)={h2,h3,h4}: jaccard = 2/4 = 0.5
+        e = _edges(spark, [("x", "h1"), ("x", "h2"), ("x", "h3"),
+                           ("y", "h2"), ("y", "h3"), ("y", "h4")])
+        rows = {(r["x"], r["y"]): r["jaccard"]
+                for r in G.neighbor_jaccard(e, threshold=0.5).collect()}
+        assert rows[("x", "y")] == 0.5
+        assert all(j >= 0.5 for j in rows.values())
+
+    def test_hub_cap_excludes_super_hub(self, spark):
+        # h is adjacent to everyone (degree 4 > max_hub=3) and must not
+        # generate candidates; x/y still pair via the small shared h2
+        e = _edges(spark, [("h", "x"), ("h", "y"), ("h", "z"), ("h", "w"),
+                           ("x", "h2"), ("y", "h2")])
+        rows = G.neighbor_jaccard(e, threshold=0.1, max_hub=3).collect()
+        pairs = {(r["x"], r["y"]) for r in rows}
+        assert ("x", "y") in pairs
+        # no pair may be witnessed by the super-hub alone
+        assert ("w", "x") not in pairs and ("w", "z") not in pairs
