@@ -679,6 +679,49 @@ def bfs_depths(
     return visited
 
 
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Deterministic synchronous label propagation over the undirected
+    graph: labels start as the node id; each round every node adopts the
+    most frequent label among its neighbors, ties broken by the smallest
+    label — a fully order-independent update rule, so the fixed-round
+    result is reproducible across any partitioning (and expressible as a
+    SQL twin).
+
+    Each round is one equi-join (adjacency x labels on the neighbor key)
+    plus a count aggregation and a per-node top-1 window — the standard
+    Pregel LPA round as DataFrame algebra, lineage cut per round.  At
+    cluster scale, hash-partition `adj` and `labels` on the node key once
+    and every round's join co-locates; only the count shuffle remains.
+
+    Returns (bel, label) after `iters` rounds.
+    """
+    und = undirected_edges(edges, src, dst)
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("h")).unionAll(
+        und.select(F.col("b").alias("n"), F.col("a").alias("h"))
+    ).localCheckpoint(eager=True)
+    labels = adj.select(F.col("n").alias("bel")).distinct().select(
+        "bel", F.col("bel").alias("label"))
+    w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iters):
+        counts = (
+            adj.join(labels, adj["h"] == labels["bel"])
+            .groupBy("n", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n").alias("bel"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def neighbor_jaccard(
     edges: DataFrame,
     threshold: float = 0.5,

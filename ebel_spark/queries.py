@@ -2104,6 +2104,57 @@ def bel_bfs_depths(spark, sf_dir):
         "bel", F.col("dist").cast("int").alias("dist"))
 
 
+def _lpa_oracle_sql(iters: int = 5) -> str:
+    """Chained-CTE DuckDB twin of graph.label_propagation: one CTE per
+    synchronous round, same (count DESC, label ASC) tie-break."""
+    head = f"""
+WITH e0 AS (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM e0 WHERE u <> v
+), adj AS MATERIALIZED (
+  SELECT a AS n, b AS h FROM und UNION ALL SELECT b, a FROM und
+), l0 AS MATERIALIZED (SELECT DISTINCT n AS bel, n AS label FROM adj)"""
+    parts = [head]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+l{k} AS MATERIALIZED (
+  SELECT n AS bel, label FROM (
+    SELECT a.n, l.label, count(*) AS c,
+           row_number() OVER (PARTITION BY a.n
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM adj a JOIN l{p} l ON l.bel = a.h
+    GROUP BY a.n, l.label) WHERE rn = 1)""")
+    parts.append(f"""
+SELECT bel, label AS community FROM l{iters}""")
+    return "".join(parts)
+
+
+@q("bel_communities_lpa", _lpa_oracle_sql())
+def bel_communities_lpa(spark, sf_dir):
+    """Community assignments over the KG by deterministic synchronous
+    label propagation (graph.label_propagation, 5 rounds: most-frequent
+    neighbor label, min-label tie-break) — entity-grouping primitive for
+    KG construction.  The oracle unrolls the same rounds into chained
+    MATERIALIZED CTEs with an identical window tie-break, so the
+    iterative algorithm gets a full-value check."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    return G.label_propagation(e, iters=5).select(
+        "bel", F.col("label").alias("community"))
+
+
 @q("bel_neighbor_jaccard", f"""
 WITH e0 AS (
   SELECT DISTINCT subject_bel AS u, object_bel AS v

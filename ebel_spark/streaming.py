@@ -158,6 +158,49 @@ def stream_dedup_documents(
     )
 
 
+def stream_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "rts",
+    interval: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each right-stream row
+    joins left-stream rows with the same `key` whose timestamp satisfies
+    left_ts <= right_ts <= left_ts + `interval` seconds (attribution-style
+    semantics: a click joins the view that preceded it within the window).
+
+    Both sides carry event-time watermarks and the join predicate bounds
+    the two event times against each other, which is exactly what lets
+    Spark evict join state: a left row can be dropped once the right
+    watermark passes left_ts + interval, so state stays proportional to
+    the window, not the stream — the requirement for running unbounded
+    at 100 TB/day.  Without the time-range conjunct the state store would
+    grow forever; this function makes the bounded form the only
+    expressible one.
+
+    `left_ts` and `right_ts` must be distinct column names (the joined
+    row carries both).
+    """
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must differ so the joined "
+                         "row can carry both event times")
+    l = (left_stream
+         .withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+         .withWatermark(left_ts, watermark))
+    r = (right_stream
+         .withColumn(right_ts, F.col(right_ts).cast("timestamp"))
+         .withWatermark(right_ts, watermark))
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {interval} SECONDS"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def stream_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -61,6 +61,36 @@ class TestBfs:
         assert got == {"a": 0, "b": 1, "c": 2}
 
 
+class TestLabelPropagation:
+    def test_two_cliques_with_bridge(self, spark):
+        # two triangles joined by one bridge edge: LPA must converge to
+        # one label per clique (min node id of the clique under the
+        # deterministic min-label tie-break)
+        e = _edges(spark, [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+                           ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+                           ("a3", "b1")])
+        got = {r["bel"]: r["label"]
+               for r in G.label_propagation(e, iters=5).collect()}
+        # every a-node shares a label; every pure b-node shares a label
+        assert got["a1"] == got["a2"] == got["a3"]
+        assert got["b2"] == got["b3"]
+
+    def test_deterministic_across_runs(self, spark):
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+                           ("a", "c")])
+        r1 = sorted(map(tuple, G.label_propagation(e, iters=4).collect()))
+        r2 = sorted(map(tuple, G.label_propagation(e, iters=4).collect()))
+        assert r1 == r2
+
+    def test_star_adopts_min_leaf(self, spark):
+        # hub h with leaves l1..l3: round 1, each leaf sees only {h} so
+        # adopts h; h sees {l1,l2,l3} (all count 1) and adopts min = l1
+        e = _edges(spark, [("h", "l1"), ("h", "l2"), ("h", "l3")])
+        got = {r["bel"]: r["label"]
+               for r in G.label_propagation(e, iters=1).collect()}
+        assert got == {"h": "l1", "l1": "h", "l2": "h", "l3": "h"}
+
+
 class TestNeighborJaccard:
     def test_identical_neighbor_sets(self, spark):
         # x and y share exactly {h1, h2}: jaccard 1.0 (and symmetrically

@@ -112,6 +112,47 @@ class TestStreaming:
         assert got == {(1, 1000, 1010, 2), (1, 6000, 6000, 1),
                        (2, 1000, 1000, 1)}
 
+    def test_stream_interval_join_matches_batch(self, spark, tmp_path):
+        from ebel_spark.streaming import stream_interval_join
+
+        vsrc = str(tmp_path / "views")
+        csrc = str(tmp_path / "clicks")
+        views = [(1, 1000, "v1"), (1, 5000, "v2"), (2, 1000, "v3"),
+                 (3, 9000, "v4")]
+        clicks = [(1, 1100, "c1"),   # joins v1 (within 1800s)
+                  (1, 5200, "c2"),   # joins v2
+                  (1, 4000, "c3"),   # joins nothing (v1+1800 < 4000 < v2)
+                  (2, 2900, "c4"),   # joins v3 at the 1800s boundary? 1900s>1800 -> no
+                  (2, 2700, "c5"),   # joins v3 (1700s)
+                  (3, 8000, "c6")]   # before v4 -> no
+        vdf = spark.createDataFrame(views, ["user_id", "ts", "view_id"]) \
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        cdf = spark.createDataFrame(clicks, ["user_id", "rts", "click_id"]) \
+            .withColumn("rts", F.col("rts").cast("timestamp"))
+        vdf.write.mode("overwrite").parquet(vsrc)
+        cdf.write.mode("overwrite").parquet(csrc)
+
+        vs = spark.readStream.schema(vdf.schema).parquet(vsrc)
+        cs = spark.readStream.schema(cdf.schema).parquet(csrc)
+        joined = stream_interval_join(vs, cs, key="user_id", left_ts="ts",
+                                      right_ts="rts", interval=1800,
+                                      watermark="1 hour")
+        q = (joined.writeStream.format("memory").queryName("ij_t")
+             .option("checkpointLocation", str(tmp_path / "ckij"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {(r.view_id, r.click_id) for r in spark.table("ij_t").collect()}
+        assert got == {("v1", "c1"), ("v2", "c2"), ("v3", "c5")}
+
+        # batch twin over the same parquet: identical pairs
+        batch = vdf.alias("v").join(
+            cdf.alias("c"),
+            (F.col("v.user_id") == F.col("c.user_id"))
+            & (F.col("c.rts") >= F.col("v.ts"))
+            & (F.col("c.rts") <= F.col("v.ts")
+               + F.expr("INTERVAL 1800 SECONDS")))
+        assert got == {(r.view_id, r.click_id) for r in batch.collect()}
+
     def test_stream_dedup_documents(self, spark, tmp_path):
         from ebel_spark.streaming import stream_dedup_documents
 
