@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def require_iceberg(spark: SparkSession, catalog: str) -> None:
@@ -127,6 +127,33 @@ def write_bucketed(
         w = w.option("path", path)
     w.saveAsTable(table)
     return spark.table(table)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    partitions: int | None = None,
+) -> None:
+    """Write a range-clustered parquet table: `repartitionByRange` on
+    `cols` (range-partitioned via a sampled boundary sort) plus
+    `sortWithinPartitions`, so every output file covers a narrow,
+    pairwise-disjoint range of the cluster key.
+
+    This is the data-skipping layout: parquet stores per-file and
+    per-row-group min/max statistics, and a reader filtering on the
+    cluster key prunes whole files from the scan (Spark shows it as
+    PushedFilters + skipped row groups).  On a 100 TB time-keyed table
+    clustered by timestamp, a one-day query reads ~1/365th of the files
+    instead of all of them — the single biggest scan-cost lever after
+    partition pruning, and what Iceberg/Delta expose as sort-order /
+    z-order table properties.  (For multi-column predicates an
+    interleaved key can replace `cols`; single-key range clustering is
+    the common case for time-series.)
+    """
+    w = df.repartitionByRange(*([partitions] if partitions else []),
+                              *[F.col(c) for c in cols])
+    w.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
 
 
 def write_metrics_table(

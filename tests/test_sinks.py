@@ -50,3 +50,38 @@ class TestMetricsTable:
         assert by_run["r1"]["n_triples"] == 10.0
         assert by_run["r2"]["wall_s"] == 1.0
         assert "stage.validate" in by_run["r1"]
+
+
+class TestClusteredWrite:
+    def test_files_cover_disjoint_ranges_and_prune(self, spark, tmp_path):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "clustered")
+        df = spark.range(0, 100_000).select(
+            (F.col("id") * 7919 % 100_000).alias("k"),
+            F.col("id").alias("payload"))
+        sinks.write_clustered(df, path, ["k"], partitions=8)
+
+        files = sorted(glob.glob(path + "/part-*.parquet"))
+        assert len(files) == 8
+        ranges = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            col_idx = [md.schema.column(i).name
+                       for i in range(md.num_columns)].index("k")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        # pairwise disjoint file ranges (boundaries may touch, not overlap)
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2
+        # a point filter must read back correctly off the clustered layout
+        got = spark.read.parquet(path).filter("k BETWEEN 10 AND 20") \
+            .count()
+        assert got == df.filter("k BETWEEN 10 AND 20").count()
