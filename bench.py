@@ -68,6 +68,22 @@ def host_memcpy_gbps(mb: int = 256, reps: int = 3) -> float:
     return round(mb / 1024 / best, 2)
 
 
+def wait_for_clear_window(min_gbps: float = 1.0, max_wait_s: float = 300,
+                          probe_every_s: float = 20) -> list[float]:
+    """If the bench starts inside a neighbor-contention window (memcpy
+    bandwidth far below the 3.2 GB/s idle baseline), wait — bounded — for
+    it to clear rather than recording 3-5x-inflated timings.  Every probe
+    is returned and published in the result JSON, so a run that proceeded
+    degraded is visible as such instead of masquerading as a regression.
+    Override the wait cap with $SPARK_GRAFT_STORM_WAIT_S (0 disables)."""
+    probes = [host_memcpy_gbps()]
+    t0 = time.time()
+    while probes[-1] < min_gbps and time.time() - t0 < max_wait_s:
+        time.sleep(probe_every_s)
+        probes.append(host_memcpy_gbps())
+    return probes
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int,
@@ -98,6 +114,9 @@ def main(argv=None):
 
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1)) if m else 0.0
+
+    storm_wait = float(os.environ.get("SPARK_GRAFT_STORM_WAIT_S", "300"))
+    start_probes = wait_for_clear_window(max_wait_s=storm_wait)
 
     scratch = None
     extra = {}
@@ -133,6 +152,7 @@ def main(argv=None):
         "sf": sf,
         "cpus": args.cpus,
         "host_memcpy_gbps": host_memcpy_gbps(),
+        "host_memcpy_probes_start": start_probes,
     }
 
     if not args.skip_bel:
