@@ -411,7 +411,7 @@ def main(argv=None):
                     help="repair snake_cased relations + evidence wrapping "
                          "before parsing (reference validate.py:141-222)")
     ap.add_argument("--error-report", default=None,
-                    help="also write a .csv/.tsv/.json/.txt error report")
+                    help="also write a .csv/.tsv/.json/.txt/.md/.html/.xlsx error report")
     ap.add_argument("--format", choices=["parquet", "iceberg"],
                     default="parquet",
                     help="output table format (iceberg needs the runtime "

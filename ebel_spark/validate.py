@@ -290,9 +290,19 @@ def write_error_report(errors: DataFrame, path: str) -> str:
     elif path.endswith(".html"):
         with open(path, "w", encoding="utf-8") as fd:
             fd.write(pdf.to_html(index=False, na_rep=""))
+    elif path.endswith(".xlsx"):
+        # reference validate.py:252-354 defaults to an Excel report; the
+        # engine supports it when an xlsx writer is installed (this
+        # sandbox ships neither openpyxl nor xlsxwriter)
+        try:
+            pdf.to_excel(path, index=False)
+        except ImportError as exc:
+            raise RuntimeError(
+                "xlsx reports need openpyxl or xlsxwriter installed; "
+                "use .csv/.tsv/.json/.txt/.md/.html here") from exc
     else:
         raise ValueError(f"unsupported report suffix: {path} "
-                         "(use .csv/.tsv/.json/.txt/.md/.html)")
+                         "(use .csv/.tsv/.json/.txt/.md/.html/.xlsx)")
     return path
 
 

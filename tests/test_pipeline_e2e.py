@@ -97,6 +97,10 @@ class TestPipelineE2E:
         html = V.write_error_report(errors, str(tmp_path / "report.html"))
         body = open(html, encoding="utf-8").read()
         assert body.count("<tr>") >= len(pdf)
+        # xlsx (the reference default) needs a writer lib this sandbox
+        # lacks: the path must fail with the documented actionable error
+        with pytest.raises((RuntimeError, ModuleNotFoundError)):
+            V.write_error_report(errors, str(tmp_path / "report.xlsx"))
 
     def test_repair_flag_end_to_end(self, spark, tmp_path):
         """A corpus whose statements use snake_cased relations parses clean
