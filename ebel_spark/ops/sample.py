@@ -113,6 +113,66 @@ def pack_bins(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    salt: str = "shuf:",
+) -> DataFrame:
+    """Reproducible global shuffle for training-order shard writes:
+    shard = id-hash mod n_shards, position = rank of (hash, id) within
+    the shard.  Reading shards 0..n-1 each in position order replays one
+    fixed pseudo-random permutation of the corpus — on any cluster, any
+    partitioning, any run (the property a `rand()` sort lacks).
+
+    Scale shape: the window partitions BY SHARD, so the per-shard sorts
+    run in parallel — a global row_number over the hash order would
+    serialize the whole corpus through one task.  At 100 TB, n_shards is
+    the write parallelism; each shard is one training-data file."""
+    h = hash_bucket(F.col(id_col), salt=salt)
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.withColumn("h", h)
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .drop("h")
+    )
+
+
+def budget_slice(
+    df: DataFrame,
+    cost_col: Column,
+    budget: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "slice:",
+) -> DataFrame:
+    """Per-source token-budget slice: order each source's documents by a
+    deterministic id-hash priority and keep rows while the running token
+    total stays within `budget` — the "give me N tokens per domain" mixing
+    primitive for assembling a training corpus from over-represented
+    sources.
+
+    The inclusive running sum is one window pass partitioned by source
+    (parallel across sources, never a global sort); the hash priority
+    makes the slice a uniform random-without-replacement subset that is
+    stable across runs and engines."""
+    pri = hash_bucket(F.col(id_col), salt=salt)
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(pri.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(cost_col.cast("long")).over(w)
+    return (
+        df.select(
+            part_col, id_col,
+            cost_col.cast("long").alias("cost"),
+            cum.alias("cum_cost"))
+        .filter(F.col("cum_cost") <= budget)
+    )
+
+
 def weighted_topk_sample(
     df: DataFrame,
     weight_col: Column,

@@ -153,19 +153,20 @@ def fingerprint(col, n: int = 5) -> Column:
     ).otherwise(F.lit(None).cast("long"))
 
 
-def winnow_fingerprints(col, k: int = 4, w: int = 4) -> Column:
-    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
-    MOSS local-match algorithm): positional word k-gram hashes, minimum per
-    sliding window of w, distinct selected values sorted.
+def _kgram_hashes(col, k: int) -> Column:
+    """Positional word k-gram xxhash64 values (duplicates kept, unlike the
+    deduped `shingles`).  Degenerate docs (< k tokens) hash their whole
+    token string, mirroring `shingles`.
 
-    Guarantee: any shared token run of >= w + k - 1 tokens between two
-    documents yields a shared fingerprint, while only ~2/(w+1) of the
-    hashes are kept — local plagiarism/quotation detection that MinHash
-    (global-similarity) misses.  Pure JVM column algebra; degenerate docs
-    (< k tokens) hash their whole token string, mirroring `shingles`."""
-    toks = tokens(col)
+    Prefer `_kgram_hashes_from_tokens` over a bound token column: `col`'s
+    tokenization is referenced inside the per-gram lambda and HOF lambdas
+    re-evaluate unbound expression trees per element."""
+    return _kgram_hashes_from_tokens(tokens(col), k)
+
+
+def _kgram_hashes_from_tokens(toks: Column, k: int) -> Column:
     n = F.size(toks)
-    grams = F.when(
+    return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(0), n - k),
@@ -175,6 +176,18 @@ def winnow_fingerprints(col, k: int = 4, w: int = 4) -> Column:
         F.when(n > 0, F.array(F.xxhash64(F.array_join(toks, " "))))
         .otherwise(F.array().cast("array<bigint>"))
     )
+
+
+def _window_min_select(grams: Column, w: int) -> Column:
+    """Winnowing selection over an ALREADY-BOUND gram-array column:
+    minimum per sliding window of w, distinct, sorted.
+
+    `grams` must be a plain column reference, not an expression tree:
+    Spark evaluates higher-order-function lambda bodies interpreted, with
+    NO common-subexpression elimination, so an expression passed here is
+    re-evaluated once per window — O(n^2) per document (measured 12.0 s
+    vs 0.55 s at sf0.1 for the full winnow).  `winnow_fingerprints_df`
+    does the binding; use it instead of composing this by hand."""
     m = F.size(grams)
     return F.when(
         m >= w,
@@ -186,6 +199,41 @@ def winnow_fingerprints(col, k: int = 4, w: int = 4) -> Column:
         F.when(m > 0, F.array(F.array_min(grams)))
         .otherwise(F.array().cast("array<bigint>"))
     )
+
+
+def winnow_fingerprints_df(df, text_col: str = "text",
+                           out_col: str = "fps",
+                           k: int = 4, w: int = 4):
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS local-match algorithm): positional word k-gram hashes, minimum
+    per sliding window of w, distinct selected values sorted, as a new
+    array column `out_col`.
+
+    Guarantee: any shared token run of >= w + k - 1 tokens between two
+    documents yields a shared fingerprint, while only ~2/(w+1) of the
+    hashes are kept — local plagiarism/quotation detection that MinHash
+    (global-similarity) misses.  Pure JVM column algebra.
+
+    DataFrame-level on purpose: the gram array must be BOUND as a column
+    between the two phases (see `_window_min_select`) or the window-min
+    lambda re-computes the gram hashing once per window — 22x slower,
+    measured."""
+    tmp_t = f"__{out_col}_toks"
+    tmp_g = f"__{out_col}_grams"
+    return (
+        df.withColumn(tmp_t, tokens(F.col(text_col)))
+        .withColumn(tmp_g, _kgram_hashes_from_tokens(F.col(tmp_t), k))
+        .withColumn(out_col, _window_min_select(F.col(tmp_g), w))
+        .drop(tmp_t, tmp_g)
+    )
+
+
+def winnow_fingerprints(col, k: int = 4, w: int = 4) -> Column:
+    """Single-Column winnowing (see `winnow_fingerprints_df`).  Only for
+    tiny inputs/tests: with the grams inlined in one expression the
+    window-min re-evaluates them per window (quadratic per document) —
+    any real pipeline must use `winnow_fingerprints_df`."""
+    return _window_min_select(_kgram_hashes(col, k), w)
 
 
 def _grams2(toks) -> Column:

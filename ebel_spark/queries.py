@@ -691,9 +691,8 @@ def doc_winnow_fingerprints(spark, sf_dir):
     distinct selections.  Any shared run of >= 7 tokens across documents
     is guaranteed a shared fingerprint."""
     d = _tw(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.explode(T.winnow_fingerprints(F.col("text"))).alias("fp"))
+    return T.winnow_fingerprints_df(d).select(
+        "doc_id", F.explode("fps").alias("fp"))
 
 
 @q("doc_winnow_overlap_pairs", """
@@ -717,9 +716,8 @@ def doc_winnow_overlap_pairs(spark, sf_dir):
     cap (fp in 2..20 docs) as the skew guard, same design as the rare-
     shingle inverted index in doc_ngram_jaccard_pairs."""
     d = _tw(spark, sf_dir, "documents")
-    w = d.select(
-        "doc_id",
-        F.explode(T.winnow_fingerprints(F.col("text"))).alias("fp"))
+    w = T.winnow_fingerprints_df(d).select(
+        "doc_id", F.explode("fps").alias("fp"))
     from .ops.dedup import _pin
     w = _pin(w)
     rare = (w.groupBy("fp").count()
@@ -989,6 +987,52 @@ def doc_pack_bins(spark, sf_dir):
     sort)."""
     d = _tw(spark, sf_dir, "documents")
     return S.pack_bins(d, T.token_count(F.col("text")), budget=1000)
+
+
+@q("doc_shuffle_shards", """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::UBIGINT % 10000 AS h
+  FROM documents)
+SELECT doc_id, CAST(h % 64 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) - 1
+            AS BIGINT) AS pos
+FROM h
+""")
+def doc_shuffle_shards(spark, sf_dir):
+    """Reproducible global shuffle into 64 training shards: shard by id
+    hash, position by (hash, id) rank within the shard — one fixed
+    pseudo-random permutation on any cluster/partitioning, windowed per
+    shard so the sorts parallelize (never a global row_number)."""
+    d = _t(spark, sf_dir, "documents")
+    return S.shuffle_shards(d).select("doc_id", "shard", "pos")
+
+
+@q("doc_budget_slice", """
+WITH c AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS BIGINT) AS cost,
+         ('0x' || substr(md5('slice:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::UBIGINT % 10000 AS pri
+  FROM documents)
+SELECT source, doc_id, cost, cum_cost FROM (
+  SELECT source, doc_id, cost,
+         sum(cost) OVER (PARTITION BY source ORDER BY pri, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_cost
+  FROM c)
+WHERE cum_cost <= 5000
+""")
+def doc_budget_slice(spark, sf_dir):
+    """Per-source token-budget slice (5000 tokens per source): documents
+    taken in deterministic hash-priority order while the running token
+    total fits — the "N tokens per domain" corpus-mixing primitive.  One
+    window pass partitioned by source; integer costs, so the running sum
+    is order-exact."""
+    d = _t(spark, sf_dir, "documents")
+    return S.budget_slice(d, T.token_count(F.col("text")), budget=5000)
 
 
 @q("doc_repetition", """

@@ -64,9 +64,14 @@ class TestText:
             (3, "tiny"),
         ]
         df = spark.createDataFrame(rows, ["doc_id", "text"])
-        got = {r.doc_id: set(r.fps) for r in df.select(
+        got = {r.doc_id: set(r.fps)
+               for r in T.winnow_fingerprints_df(df).select(
+                   "doc_id", "fps").collect()}
+        # the single-Column form (test/tiny-input API) must agree
+        col_form = {r.doc_id: set(r.fps) for r in df.select(
             "doc_id", T.winnow_fingerprints(F.col("text")).alias("fps")
         ).collect()}
+        assert got == col_form
         # winnowing guarantee: a shared run of >= w + k - 1 tokens yields
         # a shared fingerprint
         assert got[0] & got[1]
@@ -367,6 +372,39 @@ class TestSampling:
         first = packed.groupBy("source").agg(
             F.min("bin_id").alias("mn")).collect()
         assert all(r.mn == 0 for r in first)
+
+    def test_shuffle_shards_is_permutation(self, spark, real_docs):
+        from ebel_spark.ops import sample as S
+        from pyspark.sql import functions as F
+        n = real_docs.count()
+        s = S.shuffle_shards(real_docs, n_shards=8)
+        assert s.count() == n                       # a permutation: no loss
+        # positions are dense 0..count-1 within every shard
+        agg = s.groupBy("shard").agg(
+            F.min("pos").alias("mn"), F.max("pos").alias("mx"),
+            F.count(F.lit(1)).alias("c")).collect()
+        assert all(r.mn == 0 and r.mx == r.c - 1 for r in agg)
+        assert {r.shard for r in agg} <= set(range(8))
+        # reproducible across runs
+        a = {(r.doc_id, r.shard, r.pos)
+             for r in S.shuffle_shards(real_docs, n_shards=8).collect()}
+        b = {(r.doc_id, r.shard, r.pos) for r in s.collect()}
+        assert a == b
+
+    def test_budget_slice_respects_budget(self, spark, real_docs):
+        from ebel_spark.ops import sample as S
+        from pyspark.sql import functions as F
+        sl = S.budget_slice(real_docs, F.col("n_chars"), budget=20000)
+        per = sl.groupBy("source").agg(
+            F.max("cum_cost").alias("mx"),
+            F.sum("cost").alias("total")).collect()
+        assert per and all(r.mx <= 20000 and r.total == r.mx for r in per)
+        # stability: a second evaluation selects the same documents
+        a = {r.doc_id for r in sl.collect()}
+        b = {r.doc_id for r in
+             S.budget_slice(real_docs, F.col("n_chars"),
+                            budget=20000).collect()}
+        assert a == b
 
     def test_repetition_detects_repeats(self, spark):
         from ebel_spark.ops import text as T
