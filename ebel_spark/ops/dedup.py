@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import shingles, tokens
+from .text import shingles, tokens, with_shingles
 
 
 def _pin(df: DataFrame) -> DataFrame:
@@ -81,10 +81,10 @@ def minhash_lsh_pairs(
     threshold, candidates generated via LSH banding (k/bands rows/band)."""
     assert k % bands == 0
     rows = k // bands
-    base = _pin(df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0))
+    base = _pin(
+        with_shingles(df, text_col, "sh", shingle_n)
+        .select(F.col(id_col).alias("id"), "sh")
+        .filter(F.size("sh") > 0))
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), k))
     # band rows carry ONLY (id, band key) — the shingle arrays would
     # otherwise be shuffled `bands` times over
@@ -304,10 +304,10 @@ def ngram_jaccard_pairs(
     would create a quadratic bucket — the cap IS the skew guard; pairs that
     only share ultra-common shingles are below threshold anyway when
     documents are longer than max_df shingles)."""
-    base = _pin(df.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0))
+    base = _pin(
+        with_shingles(df, text_col, "sh", shingle_n)
+        .select(F.col(id_col).alias("id"), "sh")
+        .filter(F.size("sh") > 0))
     inv = base.select("id", F.explode("sh").alias("shingle"))
     rare = (
         inv.groupBy("shingle").count()

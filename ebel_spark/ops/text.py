@@ -127,8 +127,17 @@ def lang_id(col, min_score: float = 0.02) -> Column:
 
 
 def shingles(col, n: int = 5) -> Column:
-    """Distinct word n-gram shingles (arrays of joined tokens)."""
-    toks = tokens(col)
+    """Distinct word n-gram shingles (arrays of joined tokens).
+
+    Single-Column form: the tokenization is inlined in the per-shingle
+    lambda and re-evaluated per element (HOF lambdas get no CSE).  Hot
+    paths bind the token array as a column and use
+    `shingles_from_tokens`."""
+    return shingles_from_tokens(tokens(col), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 5) -> Column:
+    """`shingles` over an already-bound token-array column."""
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
@@ -143,10 +152,29 @@ def shingles(col, n: int = 5) -> Column:
     )
 
 
+def with_shingles(df: DataFrame, text_col: str = "text",
+                  out_col: str = "sh", n: int = 5) -> DataFrame:
+    """Bind tokenization and shingling as separate columns (each consumed
+    multiple times, so CollapseProject keeps them materialized) — the
+    fast path for every shingle-based operator."""
+    tmp = f"__{out_col}_toks"
+    return (
+        df.withColumn(tmp, tokens(F.col(text_col)))
+        .withColumn(out_col, shingles_from_tokens(F.col(tmp), n))
+        .drop(tmp)
+    )
+
+
 def fingerprint(col, n: int = 5) -> Column:
     """Rolling-hash document fingerprint: min xxhash64 over word n-gram
-    shingles (a 1-permutation MinHash — robust to local edits)."""
-    sh = shingles(col, n)
+    shingles (a 1-permutation MinHash — robust to local edits).
+    Single-Column form for tiny inputs; pipelines bind shingles first
+    (`with_shingles` + `fingerprint_from_shingles`)."""
+    return fingerprint_from_shingles(shingles(col, n))
+
+
+def fingerprint_from_shingles(sh: Column) -> Column:
+    """`fingerprint` over an already-bound shingle-array column."""
     return F.when(
         F.size(sh) > 0,
         F.array_min(F.transform(sh, lambda s: F.xxhash64(s))),
@@ -252,7 +280,11 @@ def repetition_ratios(col) -> tuple[Column, Column]:
     tokens (resp. word 2-grams) that are repeats of an earlier occurrence.
     High values flag boilerplate/spam documents that poison training data.
 
-    Returns (dup_token_ratio, dup_2gram_ratio), each in [0, 1]."""
+    Returns (dup_token_ratio, dup_2gram_ratio), each in [0, 1].
+
+    Single-Column form for tiny inputs/tests: the token array is inlined
+    in the 2-gram lambda and re-tokenized per gram (see
+    `_window_min_select`) — pipelines use `repetition_ratios_df`."""
     toks = tokens(col)
     g2 = _grams2(toks)
     dup1 = F.when(
@@ -264,6 +296,34 @@ def repetition_ratios(col) -> tuple[Column, Column]:
         F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2),
     ).otherwise(F.lit(0.0))
     return dup1, dup2
+
+
+def repetition_ratios_df(
+    df: DataFrame,
+    text_col: str = "text",
+    tok_out: str = "dup_token_ratio",
+    gram_out: str = "dup_2gram_ratio",
+) -> DataFrame:
+    """`repetition_ratios` with the token and 2-gram arrays BOUND as
+    columns between phases, so the 2-gram lambda slices a materialized
+    array instead of re-running tokenization per gram (HOF lambdas get no
+    common-subexpression elimination — the winnowing lesson)."""
+    tt, tg = "__rr_toks", "__rr_g2"
+    out = (
+        df.withColumn(tt, tokens(F.col(text_col)))
+        .withColumn(tg, _grams2(F.col(tt)))
+    )
+    toks, g2 = F.col(tt), F.col(tg)
+    dup1 = F.when(
+        F.size(toks) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks),
+    ).otherwise(F.lit(0.0))
+    dup2 = F.when(
+        F.size(g2) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(g2)) / F.size(g2),
+    ).otherwise(F.lit(0.0))
+    return (out.withColumn(tok_out, dup1)
+            .withColumn(gram_out, dup2).drop(tt, tg))
 
 
 #: PII patterns restricted to constructs Java regex and RE2 share
@@ -299,15 +359,20 @@ def chunk_texts(
     explode, no shuffle): chunk i holds tokens [i*C, (i+1)*C).
 
     Emits (id, chunk_idx, n_tokens, chunk_sha) — the sha256 of the
-    space-joined chunk identifies content without carrying it."""
+    space-joined chunk identifies content without carrying it.
+
+    The token array is bound as a column before the chunk lambda slices
+    it (HOF lambdas re-evaluate inlined expressions per element — here
+    that would re-tokenize the document once per chunk)."""
     c = chunk_tokens
-    toks = tokens(F.col(text_col))
+    bound = df.withColumn("__ct_toks", tokens(F.col(text_col)))
+    toks = F.col("__ct_toks")
     chunks = F.transform(
         F.sequence(F.lit(0),
                    F.ceil(F.size(toks) / F.lit(c)).cast("int") - 1),
         lambda i: F.array_join(F.slice(toks, i * c + 1, c), " "),
     )
-    ex = df.select(
+    ex = bound.select(
         F.col(id_col),
         F.size(toks).alias("_n"),
         F.posexplode(F.when(F.size(toks) > 0, chunks)
@@ -341,14 +406,15 @@ def contamination(
     from pyspark.sql.functions import broadcast
 
     eval_sh = (
-        eval_df.select(
-            F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
+        with_shingles(eval_df, text_col, "sh", shingle_n)
+        .select(F.explode("sh").alias("shingle"))
         .distinct()
     )
-    tr = train.select(
-        F.col(id_col),
-        shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).where(F.size("sh") > 0)
+    tr = (
+        with_shingles(train, text_col, "sh", shingle_n)
+        .select(F.col(id_col), "sh")
+        .where(F.size("sh") > 0)
+    )
     ex = tr.select(id_col, F.size("sh").alias("n_sh"),
                    F.explode("sh").alias("shingle"))
     hits = (

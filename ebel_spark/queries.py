@@ -677,8 +677,9 @@ def doc_fingerprints(spark, sf_dir):
     """Rolling-hash fingerprint (1-perm MinHash over 5-gram shingles) vs a
     driver-side pure-Python xxhash64 twin (oracle_docs/oracle_xxh)."""
     d = _tw(spark, sf_dir, "documents")
-    return d.select("doc_id",
-                    T.fingerprint(F.col("text")).alias("fingerprint"))
+    return T.with_shingles(d, "text", "__sh", 5).select(
+        "doc_id",
+        T.fingerprint_from_shingles(F.col("__sh")).alias("fingerprint"))
 
 
 @q("doc_winnow_fingerprints", """
@@ -1061,11 +1062,10 @@ def doc_repetition(spark, sf_dir):
     tokens / word 2-grams that repeat an earlier occurrence — the standard
     boilerplate/spam filter input."""
     d = _tw(spark, sf_dir, "documents")
-    dup1, dup2 = T.repetition_ratios(F.col("text"))
-    return d.select(
+    return T.repetition_ratios_df(d).select(
         "doc_id",
-        F.round(dup1, 6).alias("dup_token_ratio"),
-        F.round(dup2, 6).alias("dup_2gram_ratio"),
+        F.round("dup_token_ratio", 6).alias("dup_token_ratio"),
+        F.round("dup_2gram_ratio", 6).alias("dup_2gram_ratio"),
     )
 
 
@@ -1337,7 +1337,8 @@ def corpus_frequent_ngrams(spark, sf_dir):
     deterministic.  Map-side partial aggregation; the exploded shingle
     stream never materializes per-doc arrays in the shuffle."""
     d = _tw(spark, sf_dir, "documents")
-    ex = d.select(F.explode(T.shingles(F.col("text"), 3)).alias("shingle"))
+    ex = T.with_shingles(d, "text", "sh", 3).select(
+        F.explode("sh").alias("shingle"))
     freq = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
