@@ -679,6 +679,46 @@ def bfs_depths(
     return visited
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 6,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """k-core peeling over the undirected graph: repeatedly drop nodes
+    whose current degree is below k (`rounds` synchronous rounds — the
+    fixed-round unrolling both engines compute identically; the exact
+    k-core is the fixpoint).  Pruning the low-degree fringe is the
+    standard KG-cleaning pass before community/centrality analyses.
+
+    Each round is one degree aggregation plus two semi-joins that keep
+    only edges whose BOTH endpoints survive — all equi-joins on node
+    keys, lineage cut per round.  Returns (bel, deg): surviving nodes
+    with their degree in the peeled subgraph.
+    """
+    e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.select(F.col("n").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("n").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("bel"))
+        .unionAll(e.select(F.col("b").alias("bel")))
+        .groupBy("bel")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     iters: int = 5,

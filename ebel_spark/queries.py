@@ -2149,6 +2149,53 @@ def bel_bfs_depths(spark, sf_dir):
         "bel", F.col("dist").cast("int").alias("dist"))
 
 
+def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:
+    """Chained-CTE DuckDB twin of graph.kcore_peel: per round, degree,
+    survivor set, and the edge subgraph induced on survivors."""
+    head = f"""
+WITH e00 AS (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), e0 AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM e00 WHERE u <> v)"""
+    parts = [head]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM e{p} UNION ALL SELECT b FROM e{p}) GROUP BY n
+), k{r} AS MATERIALIZED (SELECT n FROM d{r} WHERE d >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{p} e
+  JOIN k{r} ka ON ka.n = e.a JOIN k{r} kb ON kb.n = e.b)""")
+    parts.append(f"""
+SELECT bel, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT a AS bel FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY bel""")
+    return "".join(parts)
+
+
+@q("bel_kcore", _kcore_oracle_sql())
+def bel_kcore(spark, sf_dir):
+    """2-core of the KG after 6 peeling rounds (graph.kcore_peel):
+    low-degree fringe removal before community/centrality analyses.
+    The oracle unrolls the same synchronous peeling into chained
+    MATERIALIZED CTEs."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    return G.kcore_peel(e, k=2, rounds=6)
+
+
 def _lpa_oracle_sql(iters: int = 5) -> str:
     """Chained-CTE DuckDB twin of graph.label_propagation: one CTE per
     synchronous round, same (count DESC, label ASC) tie-break."""

@@ -61,6 +61,29 @@ class TestBfs:
         assert got == {"a": 0, "b": 1, "c": 2}
 
 
+class TestKCore:
+    def test_peels_tail_keeps_core(self, spark):
+        # triangle a-b-c with a pendant chain c-d-e: 2-core is the triangle
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                           ("c", "d"), ("d", "e")])
+        got = {r["bel"]: r["deg"]
+               for r in G.kcore_peel(e, k=2, rounds=6).collect()}
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_cascading_peel_needs_rounds(self, spark):
+        # pure chain: every round peels the endpoints; 2-core is empty
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+        assert G.kcore_peel(e, k=2, rounds=6).count() == 0
+
+    def test_k3_keeps_k4(self, spark):
+        nodes = ["a", "b", "c", "d"]
+        k4 = [(x, y) for x in nodes for y in nodes if x < y]
+        e = _edges(spark, k4 + [("a", "x"), ("b", "x")])  # x has deg 2 < 3
+        got = {r["bel"]: r["deg"]
+               for r in G.kcore_peel(e, k=3, rounds=6).collect()}
+        assert got == {n: 3 for n in nodes}
+
+
 class TestLabelPropagation:
     def test_two_cliques_with_bridge(self, spark):
         # two triangles joined by one bridge edge: LPA must converge to
