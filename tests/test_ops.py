@@ -490,3 +490,34 @@ class TestContractInline:
             res = con.sql(sql)
             orows = self._norm(list(res.columns), res.fetchall())
             assert srows == orows, name
+
+
+class TestSkew:
+    def test_salted_join_matches_plain_join(self, spark):
+        from ebel_spark.ops.skew import salted_join
+        from pyspark.sql import functions as F
+        # heavy hitter: key 7 carries half the fact rows
+        fact = spark.range(10000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+             .otherwise(F.col("id") % 100).alias("k"),
+            F.col("id").alias("row_id"))
+        dim = spark.range(100).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("payload"))
+        got = salted_join(fact, dim, on="k", salt_from="row_id",
+                          n_salts=8)
+        plain = fact.join(dim, "k")
+        assert got.count() == plain.count()
+        assert got.exceptAll(plain).count() == 0
+        assert plain.exceptAll(got).count() == 0
+
+    def test_salted_left_join_keeps_unmatched(self, spark):
+        from ebel_spark.ops.skew import salted_join
+        from pyspark.sql import functions as F
+        fact = spark.createDataFrame(
+            [(1, 10), (2, 20), (99, 30)], ["k", "row_id"])
+        dim = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "payload"])
+        got = salted_join(fact, dim, on="k", salt_from="row_id",
+                          n_salts=4, how="left").collect()
+        by_k = {r.k: r.payload for r in got}
+        assert len(got) == 3 and by_k[99] is None
