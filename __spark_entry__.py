@@ -7,14 +7,15 @@ entry():      flagship BEL knowledge-graph construction over sf0.001 —
               triples DataFrame.
 queries():    operator inventory from SURVEY.md §2 + training-data ops,
               one callable per operator family.
-oracle_sql(): DuckDB twins for every query except ann_ivf_topk (the
-              approximate probe stays rows-only BY DESIGN — Spark avg()
-              partial aggregation makes k-means centroids summation-order
-              dependent; its exact companion ann_ivf_exact_topk carries
-              the full-value check).  Iterative graph algorithms
-              (PageRank/BFS/LPA/k-core) are twinned by unrolling the
-              fixpoint into chained MATERIALIZED CTEs; hash-based ops by
-              a golden-tested pure-Python xxhash64 twin.
+oracle_sql(): a DuckDB twin for EVERY query.  Iterative graph
+              algorithms (PageRank/BFS/LPA/k-core) are twinned by
+              unrolling the fixpoint into chained MATERIALIZED CTEs;
+              hash-based ops by a golden-tested pure-Python xxhash64
+              twin; the IVF-ANN probe path by retraining the coarse
+              quantizer driver-side (its Lloyd update sums exact scaled
+              integers, so the model is partitioning-independent and
+              bit-reproducible outside Spark) and re-running the
+              inverted-list probe join + re-rank in SQL.
 """
 
 from __future__ import annotations

@@ -363,7 +363,9 @@ def chunk_texts(
 
     The token array is bound as a column before the chunk lambda slices
     it (HOF lambdas re-evaluate inlined expressions per element — here
-    that would re-tokenize the document once per chunk)."""
+    that would re-tokenize the document once per chunk).  posexplode_outer
+    + isNotNull keeps InferFiltersFromGenerate from pushing a filter with
+    the chunk expression re-inlined below the scan (see session.py)."""
     c = chunk_tokens
     bound = df.withColumn("__ct_toks", tokens(F.col(text_col)))
     toks = F.col("__ct_toks")
@@ -375,10 +377,9 @@ def chunk_texts(
     ex = bound.select(
         F.col(id_col),
         F.size(toks).alias("_n"),
-        F.posexplode(F.when(F.size(toks) > 0, chunks)
-                     .otherwise(F.array().cast("array<string>")))
+        F.posexplode_outer(F.when(F.size(toks) > 0, chunks))
         .alias("chunk_idx", "chunk"),
-    )
+    ).filter(F.col("chunk").isNotNull())
     return ex.select(
         id_col,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
@@ -407,7 +408,8 @@ def contamination(
 
     eval_sh = (
         with_shingles(eval_df, text_col, "sh", shingle_n)
-        .select(F.explode("sh").alias("shingle"))
+        .select(F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
         .distinct()
     )
     tr = (
@@ -415,8 +417,11 @@ def contamination(
         .select(F.col(id_col), "sh")
         .where(F.size("sh") > 0)
     )
+    # explode_outer: a plain explode would let InferFiltersFromGenerate
+    # re-inline the shingle build into a pushed-down filter (session.py);
+    # the inner join on shingle drops any null row it emits
     ex = tr.select(id_col, F.size("sh").alias("n_sh"),
-                   F.explode("sh").alias("shingle"))
+                   F.explode_outer("sh").alias("shingle"))
     hits = (
         ex.join(broadcast(eval_sh), "shingle")
         .groupBy(id_col, "n_sh")
@@ -458,8 +463,11 @@ def bm25_topk(
     if clash:
         raise ValueError(f"query terms collide with output columns: {clash}")
     toks = tokens(F.col(text_col))
+    # explode_outer: a plain explode would let InferFiltersFromGenerate
+    # push a size(toks)>0 filter that re-tokenizes every document
+    # (session.py); the isin() predicate already drops the null rows
     base = df.select(F.col(id_col), F.size(toks).alias("dl"),
-                     F.explode(toks).alias("term")) \
+                     F.explode_outer(toks).alias("term")) \
         .where(F.col("term").isin(list(query_terms)))
     tf = base.groupBy(id_col, "dl", "term").agg(
         F.count(F.lit(1)).alias("tf"))

@@ -120,6 +120,14 @@ def _nearest_lists(vec_col, centroids: list[list[float]], nprobe: int):
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
 
 
+# fixed-point scale for the centroid update: per-element floor(x * SCALE)
+# is a row-local map, and LONG sums are exact, so the aggregate is
+# independent of partitioning / summation order — the one thing a float
+# avg() cannot promise on a distributed reduce.  1e6 keeps ~6 fractional
+# digits, far below any assignment-flipping distance gap.
+IVF_SCALE = 1_000_000.0
+
+
 def ivf_train_centroids(
     corpus: DataFrame, nlist: int, dim: int, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -128,10 +136,13 @@ def ivf_train_centroids(
     corpus vectors with the smallest xxhash64(id) (a seeded sample that
     needs no Date/Random), refined with `iters` Lloyd rounds — assignment
     is a map-only pass against broadcast literal centroids, the update is
-    one partial-aggregated groupBy.  The returned model is nlist×dim
-    floats (driver-sized by construction); at 100 TB you train on exactly
-    this plan over a sampled corpus and only the tiny model ever leaves
-    the executors."""
+    one partial-aggregated groupBy over EXACT scaled-integer sums, so the
+    trained model is bit-identical under any partitioning (a float avg()
+    would depend on partial-aggregation order; this is what lets the
+    approximate probe path carry a full-value driver-side oracle twin).
+    The returned model is nlist×dim floats (driver-sized by construction);
+    at 100 TB you train on exactly this plan over a sampled corpus and
+    only the tiny model ever leaves the executors."""
     base = corpus.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("v"))
     seed_rows = (
@@ -142,13 +153,19 @@ def ivf_train_centroids(
     for _ in range(iters):
         assigned = base.withColumn(
             "list_id", _nearest_lists(F.col("v"), cents, 1)[0])
-        means = (
+        sums = (
             assigned.groupBy("list_id")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+            .agg(F.count(F.lit(1)).alias("n"),
+                 *[F.sum(F.floor(F.col("v")[i] * IVF_SCALE).cast("long"))
+                   .alias(f"s{i}") for i in range(dim)])
             .collect()
         )
-        new = {int(r.list_id): [float(r[f"c{i}"]) for i in range(dim)]
-               for r in means}
+        new = {
+            int(r.list_id):
+                [int(r[f"s{i}"]) / (IVF_SCALE * int(r.n))
+                 for i in range(dim)]
+            for r in sums
+        }
         # empty lists keep their previous centroid
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return cents

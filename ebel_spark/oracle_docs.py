@@ -182,14 +182,77 @@ def _spark_fold_dot(vec, plane) -> float:
     return acc
 
 
+# IVF twin parameters (mirror the ann_ivf_topk query)
+IVF_NLIST = 8
+IVF_NPROBE = 3
+IVF_ITERS = 2
+IVF_DIM = 64
+
+
+def _l2sq_fold(vec, cent) -> float:
+    """Exact twin of ops/vectors._l2sq: zip_with promotes the float32
+    element to double, squares in double, and F.aggregate left-folds the
+    sum sequentially — so accumulate in array order, scalar Python."""
+    acc = 0.0
+    for x, c in zip(vec, cent):
+        d = float(x) - c
+        acc += d * d
+    return acc
+
+
+def _nearest_lists_py(vec, cents: list[list[float]],
+                      nprobe: int) -> list[int]:
+    """Twin of ops/vectors._nearest_lists: array_sort over (d, i) structs
+    == tuple sort (distance, then lower index wins ties)."""
+    ranked = sorted((_l2sq_fold(vec, c), i) for i, c in enumerate(cents))
+    return [i for _, i in ranked[:nprobe]]
+
+
+def _ivf_centroids_py(vecs: pd.DataFrame, nlist: int = IVF_NLIST,
+                      dim: int = IVF_DIM,
+                      iters: int = IVF_ITERS) -> list[list[float]]:
+    """Twin of ops/vectors.ivf_train_centroids: seed = nlist vectors with
+    the smallest xxhash64(str(id)); `iters` Lloyd rounds where the update
+    sums floor(x * IVF_SCALE) as exact integers (order-independent on both
+    sides) and divides driver-side — bit-identical to the Spark model."""
+    import math
+
+    from .ops.vectors import IVF_SCALE
+
+    order = sorted(
+        (spark_xxhash64_str(str(int(vid))), int(vid), emb)
+        for vid, emb in zip(vecs["vec_id"], vecs["embedding"])
+    )
+    cents = [[float(x) for x in emb] for _, _, emb in order[:nlist]]
+    for _ in range(iters):
+        sums = {}
+        for _, _, emb in order:
+            li = _nearest_lists_py(emb, cents, 1)[0]
+            s = sums.setdefault(li, [0] * (dim + 1))
+            s[dim] += 1
+            for i, x in enumerate(emb):
+                s[i] += math.floor(float(x) * IVF_SCALE)
+        cents = [
+            [sums[j][i] / (IVF_SCALE * sums[j][dim])
+             for i in range(dim)] if j in sums else cents[j]
+            for j in range(len(cents))
+        ]
+    return cents
+
+
 def ensure_vecs_oracle_tables(base: str = VECS_BASE,
                               vecs_parquet: str = GATE_VECS) -> str:
-    """Driver-side twin of the hyperplane-LSH bucket assignment: the
-    planes are shared parameters (seeded PRNG, like the vocab tables);
-    the dot/sign/bucket computation is recomputed independently of the
+    """Driver-side twin of the hyperplane-LSH bucket assignment and the
+    IVF coarse quantizer: the planes/seed rule are shared parameters
+    (seeded PRNG / xxhash64, like the vocab tables); the dot/sign/bucket
+    and k-means list assignments are recomputed independently of the
     Spark column algebra.  SQL then re-runs the relational half — bucket
-    equi-joins and exact cosine verification — over these parquets."""
-    if os.path.exists(os.path.join(base, _VMARKER)):
+    and inverted-list equi-joins plus exact cosine re-rank — over these
+    parquets."""
+    # the ivf check forces a one-time rebuild of dirs created before those
+    # tables existed (the rebuild rewrites every table, idempotent)
+    if (os.path.exists(os.path.join(base, _VMARKER))
+            and os.path.isdir(os.path.join(base, "ivf_corpus_lists"))):
         return base
 
     from .ops.vectors import hyperplanes
@@ -207,6 +270,21 @@ def ensure_vecs_oracle_tables(base: str = VECS_BASE,
             rows.append({"vec_id": int(vec_id), "bucket": bucket})
         tables[name] = pd.DataFrame(rows).astype(
             {"vec_id": "int64", "bucket": "int64"})
+
+    cents = _ivf_centroids_py(vecs)
+    cl_rows, qp_rows = [], []
+    for vec_id, emb in zip(vecs["vec_id"], vecs["embedding"]):
+        vec_id = int(vec_id)
+        cl_rows.append({"vec_id": vec_id,
+                        "list_id": _nearest_lists_py(emb, cents, 1)[0]})
+        if vec_id < 8:
+            qp_rows.extend(
+                {"vec_id": vec_id, "list_id": li}
+                for li in _nearest_lists_py(emb, cents, IVF_NPROBE))
+    tables["ivf_corpus_lists"] = pd.DataFrame(cl_rows).astype(
+        {"vec_id": "int64", "list_id": "int32"})
+    tables["ivf_query_probes"] = pd.DataFrame(qp_rows).astype(
+        {"vec_id": "int64", "list_id": "int32"})
 
     os.makedirs(base, exist_ok=True)
     for name, pdf in tables.items():

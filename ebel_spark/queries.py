@@ -690,10 +690,18 @@ def doc_winnow_fingerprints(spark, sf_dir):
     """Winnowing (SIGMOD'03 MOSS) local-match fingerprints vs the pure-
     Python xxhash64 twin: word 4-gram hashes, min per window of 4,
     distinct selections.  Any shared run of >= 7 tokens across documents
-    is guaranteed a shared fingerprint."""
+    is guaranteed a shared fingerprint.
+
+    explode_outer + isNotNull instead of explode: a plain explode lets
+    InferFiltersFromGenerate push a size(fps)>0 filter below the
+    repartition with the whole (quadratic-when-unbound) winnow expression
+    re-inlined — measured 101 s vs 0.5 s at sf0.01 (see session.py)."""
     d = _tw(spark, sf_dir, "documents")
-    return T.winnow_fingerprints_df(d).select(
-        "doc_id", F.explode("fps").alias("fp"))
+    return (
+        T.winnow_fingerprints_df(d)
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
 
 
 @q("doc_winnow_overlap_pairs", """
@@ -717,8 +725,9 @@ def doc_winnow_overlap_pairs(spark, sf_dir):
     cap (fp in 2..20 docs) as the skew guard, same design as the rare-
     shingle inverted index in doc_ngram_jaccard_pairs."""
     d = _tw(spark, sf_dir, "documents")
-    w = T.winnow_fingerprints_df(d).select(
-        "doc_id", F.explode("fps").alias("fp"))
+    w = (T.winnow_fingerprints_df(d)
+         .select("doc_id", F.explode_outer("fps").alias("fp"))
+         .filter(F.col("fp").isNotNull()))
     from .ops.dedup import _pin
     w = _pin(w)
     rare = (w.groupBy("fp").count()
@@ -1337,8 +1346,9 @@ def corpus_frequent_ngrams(spark, sf_dir):
     deterministic.  Map-side partial aggregation; the exploded shingle
     stream never materializes per-doc arrays in the shuffle."""
     d = _tw(spark, sf_dir, "documents")
-    ex = T.with_shingles(d, "text", "sh", 3).select(
-        F.explode("sh").alias("shingle"))
+    ex = (T.with_shingles(d, "text", "sh", 3)
+          .select(F.explode_outer("sh").alias("shingle"))
+          .filter(F.col("shingle").isNotNull()))
     freq = (
         ex.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
@@ -1606,13 +1616,41 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
-@q("ann_ivf_topk")  # rows-only: approximate path (IVF-flat), no SQL twin
+@q("ann_ivf_topk", """
+WITH cl AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_vecs_v1/ivf_corpus_lists/*.parquet')
+), qp AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_vecs_v1/ivf_query_probes/*.parquet')
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_cosine_similarity(qe.embedding, ce.embedding), 4)
+           AS cosine
+  FROM qp q
+  JOIN cl c ON c.list_id = q.list_id AND c.vec_id <> q.vec_id
+  JOIN embeddings qe ON qe.vec_id = q.vec_id
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
+)
+SELECT query_id, corpus_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, corpus_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+""")
 def ann_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN: deterministic k-means lists, probe-join
-    candidate generation, exact cosine re-rank inside probed lists."""
+    candidate generation, exact cosine re-rank inside probed lists.
+
+    Full-value oracle: the quantizer's Lloyd update sums exact scaled
+    integers (ops/vectors.ivf_train_centroids), so the trained model is
+    partitioning-independent; the oracle retrains it driver-side
+    (oracle_docs._ivf_centroids_py — pure Python, same fold arithmetic),
+    writes the inverted-list assignments + query probes to parquet, and
+    SQL re-runs the probe equi-join and the top-k re-rank."""
     e = _tw(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") < 8)
-    return X.ivf_topk(e, qdf, dim=64, k=3, nlist=8, nprobe=3)
+    return X.ivf_topk(e, qdf, dim=64, k=3, nlist=8, nprobe=3, decimals=4)
 
 
 @q("ann_ivf_exact_topk", """

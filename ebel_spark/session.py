@@ -68,6 +68,18 @@ def get_spark(
         # 4096-row reader batch needs ~100 MB of contiguous column vectors
         # PER TASK (OOM at 8 cores, GC churn everywhere else)
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # InferFiltersFromGenerate turns explode(expr) into a pushed-down
+        # Filter(size(expr) > 0) with the WHOLE generator expression
+        # re-inlined — for computed arrays that undoes alias binding (the
+        # HOF-rebinding lesson: the winnow fingerprint expression is
+        # quadratic when unbound) and the pushed filter lands BELOW any
+        # repartition, re-running the array build single-task.  The rule
+        # only ever saves shuffling empty-array rows, which our explodes
+        # pre-filter anyway.  (Queries also use explode_outer defensively
+        # so they stay fast under sessions we don't configure.)
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.ui.enabled", "false")
         .config(
             "spark.driver.extraJavaOptions",

@@ -240,6 +240,26 @@ class TestVectors:
         # a perturbed twin shares its original's nearest list
         assert sum(1 for qid, cid in hits.items() if cid == qid + 10) >= 4
 
+    def test_ivf_centroids_partitioning_independent(self, vecs):
+        # the exact scaled-integer Lloyd update must make the trained
+        # model bit-identical no matter how the corpus is partitioned —
+        # the property the driver-side oracle twin depends on
+        c1 = X.ivf_train_centroids(vecs.repartition(1), nlist=4, dim=16)
+        c16 = X.ivf_train_centroids(vecs.repartition(16), nlist=4, dim=16)
+        assert c1 == c16
+
+    def test_ivf_centroids_match_python_twin(self, vecs):
+        import pandas as pd
+
+        from ebel_spark.oracle_docs import _ivf_centroids_py
+
+        rows = vecs.select("vec_id", "embedding").collect()
+        pdf = pd.DataFrame({"vec_id": [r.vec_id for r in rows],
+                            "embedding": [r.embedding for r in rows]})
+        spark_c = X.ivf_train_centroids(vecs, nlist=4, dim=16)
+        twin_c = _ivf_centroids_py(pdf, nlist=4, dim=16, iters=2)
+        assert spark_c == twin_c
+
     def test_dup_pairs(self, vecs):
         pairs = {(r.a, r.b) for r in X.embedding_cosine_dup_pairs(
             vecs, threshold=0.99, dim=16, nbits=4).collect()}
