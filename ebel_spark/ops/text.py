@@ -497,6 +497,46 @@ def bm25_topk(
     )
 
 
+def tfidf_topk(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, decimals: int = 4,
+) -> DataFrame:
+    """Top-k keyword extraction per document by TF-IDF
+    (tf * (ln((N+1)/(df+1)) + 1), the smoothed sklearn-style variant).
+
+    Shape at 100 TB: tf is one map-side-combinable shuffle on
+    (doc, term); df reuses tf's distinct (doc, term) rows with a second
+    partial agg on term; the corpus size N joins in as a broadcast
+    1-row aggregate (never a driver-side count round-trip); the tf ⋈ df
+    join shuffles on term — vocabulary-sized, AQE-splittable if a hot
+    term skews — and the final top-k is one window per doc.  Rounding
+    happens BEFORE ranking on both the Spark and the oracle side so
+    near-tie order agrees."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + F.lit(1.0))
+                         / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                decimals))
+    )
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("id").alias(id_col), "term", "tfidf", "rnk")
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One call adding all text-analysis columns."""
     c = F.col(text_col)

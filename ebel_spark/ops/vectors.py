@@ -230,3 +230,42 @@ def embedding_cosine_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def ivf_dup_pairs(
+    df: DataFrame, threshold: float = 0.45, dim: int = 64,
+    nlist: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Semantic near-duplicate pairs via the IVF coarse quantizer: every
+    vector lands in its nearest-centroid list (k-means clusters as the
+    semantic blocking key), candidate pairs come from a list_id equi-join
+    (never all-pairs), and exact cosine verifies inside each list.
+
+    This is the clustering counterpart of the hyperplane-LSH pair
+    generator (embedding_cosine_dup_pairs): LSH buckets are random and
+    oblivious; IVF lists adapt to the corpus density, so recall per
+    candidate is higher when duplicates cluster semantically.  At 100 TB
+    the quantizer trains on a sample (driver holds only nlist×dim
+    floats) and the self-join shuffles once on list_id; a hot list is
+    AQE-splittable."""
+    cents = ivf_train_centroids(df, nlist, dim, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+    from .dedup import _pin
+    # both self-join sides read the assignment — pin so the nlist
+    # distance evaluations per row run once
+    b = _pin(df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        _nearest_lists(F.col(vec_col), cents, 1)[0].alias("list_id")))
+    left = b.select("list_id", F.col("id").alias("a"),
+                    F.col("v").alias("va"))
+    right = b.select("list_id", F.col("id").alias("b"),
+                     F.col("v").alias("vb"))
+    return (
+        left.join(right, "list_id")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("a", "b", F.round("cos_raw", decimals).alias("cosine"))
+    )

@@ -914,6 +914,61 @@ def doc_lang_quality(spark, sf_dir):
     )
 
 
+@q("doc_tfidf_topk", """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+         AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+""")
+def doc_tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document (ops/text.tfidf_topk): two
+    partial-aggregated shuffles (tf, then df over tf's distinct rows), a
+    broadcast 1-row corpus count, a vocabulary join, one window."""
+    d = _tw(spark, sf_dir, "documents")
+    return T.tfidf_topk(d, "doc_id", "text", k=5, decimals=4)
+
+
+@q("doc_source_stats", """
+SELECT source,
+       count(*) AS docs,
+       count(DISTINCT md5(text)) AS distinct_texts,
+       CAST(sum(len(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')))
+         AS BIGINT) AS total_tokens,
+       round(avg(length(text)), 4) AS avg_chars
+FROM documents GROUP BY source
+""")
+def doc_source_stats(spark, sf_dir):
+    """Per-source corpus profile: volume, exact-dup basis (distinct text
+    hashes), token totals, mean length — the group-by-domain triage pass
+    a crawl pipeline runs before any per-doc work.  One shuffle, all
+    aggregates map-side-combinable (count-distinct rewrites to a two-level
+    partial agg on (source, md5))."""
+    d = _tw(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count_distinct(F.md5("text")).alias("distinct_texts"),
+        F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
 @q("doc_split_assign", """
 SELECT doc_id, lang,
        CASE WHEN b < 9800 THEN 'train'
@@ -1677,6 +1732,31 @@ def ann_ivf_exact_topk(spark, sf_dir):
     return X.ivf_topk(e, qdf, dim=64, k=3, nlist=8, nprobe=8, decimals=4)
 
 
+@q("semantic_dup_pairs", """
+WITH cl AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_vecs_v1/ivf_corpus_lists/*.parquet')
+), v AS (
+  SELECT e.vec_id, e.embedding, cl.list_id
+  FROM embeddings e JOIN cl USING (vec_id)
+)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       round(list_cosine_similarity(l.embedding, r.embedding), 4) AS cosine
+FROM v l JOIN v r ON l.list_id = r.list_id AND l.vec_id < r.vec_id
+WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.45
+""")
+def semantic_dup_pairs(spark, sf_dir):
+    """Semantic dedup: k-means (IVF) cluster lists as the blocking key,
+    exact cosine verification inside each list (ops/vectors.ivf_dup_pairs).
+    The oracle reuses the driver-side retrained quantizer's list
+    assignments (same exact scaled-integer Lloyd arithmetic as
+    ann_ivf_topk) and re-runs the list self-join + cosine filter in SQL —
+    a full-value check of the cluster-blocked candidate generation."""
+    e = _tw(spark, sf_dir, "embeddings")
+    return X.ivf_dup_pairs(e, threshold=0.45, dim=64, nlist=8, iters=2,
+                           decimals=4)
+
+
 @q("embedding_dup_pairs_lsh", """
 WITH b AS (
   SELECT * FROM
@@ -2232,6 +2312,74 @@ def bel_kcore(spark, sf_dir):
         .distinct()
     )
     return G.kcore_peel(e, k=2, rounds=6)
+
+
+@q("bel_components", f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM e0 WHERE u <> v
+), deg AS (
+  SELECT n AS bel, count(*) AS degree FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n
+), keep AS (SELECT bel FROM deg WHERE degree <= 25),
+edges AS (
+  SELECT und.a AS u, und.b AS v FROM und
+  JOIN keep ka ON ka.bel = und.a JOIN keep kb ON kb.bel = und.b
+), sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+reach(id, r) AS (
+  SELECT bel, bel FROM keep
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN sym e ON e.u = reach.id
+),
+cc AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+SELECT id AS bel, component_id,
+       CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+         AS component_size
+FROM cc
+""")
+def bel_components(spark, sf_dir):
+    """Hub-removal fragmentation: drop hub nodes (undirected degree > 25),
+    then weakly-connected components over the remainder — the standard KG
+    robustness / module-discovery pass (hubs like hot HGNC symbols glue
+    everything into one giant component; what remains after removing them
+    is the modular structure).  Components come from
+    ops/dedup.connected_components (min-label + pointer jumping, O(log n)
+    rounds — the 10^12-node-safe formulation); the oracle computes the
+    exact transitive closure with a recursive CTE, which stays tractable
+    precisely because the hubs are gone."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    und = G.undirected_edges(e, "u", "v")
+    deg = (
+        und.select(F.col("a").alias("bel"))
+        .unionAll(und.select(F.col("b").alias("bel")))
+        .groupBy("bel").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    keep = deg.filter(F.col("degree") <= 25).select("bel")
+    edges = (
+        und.join(keep.select(F.col("bel").alias("a")), "a", "left_semi")
+        .join(keep.select(F.col("bel").alias("b")), "b", "left_semi")
+    )
+    labels = D.connected_components(edges, nodes=keep, a="a", b="b")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("component_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(F.col("id").alias("bel"),
+                F.col("cluster_id").alias("component_id"),
+                "component_size")
+    )
 
 
 def _lpa_oracle_sql(iters: int = 5) -> str:

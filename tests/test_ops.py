@@ -53,6 +53,27 @@ class TestText:
         assert rows[0] != rows[2]
         assert rows[5] is None
 
+    def test_tfidf_topk_math_and_ranking(self, spark):
+        import math
+        df = spark.createDataFrame(
+            [(0, "apple banana apple"),
+             (1, "banana cherry"),
+             (2, "cherry cherry date")],
+            ["doc_id", "text"])
+        got = {(r.doc_id, r.term): (r.tfidf, r.rnk)
+               for r in T.tfidf_topk(df, k=2).collect()}
+
+        def tfidf(tf, dfreq, n=3):
+            return round(tf * (math.log((n + 1.0) / (dfreq + 1.0)) + 1.0), 4)
+
+        # doc 0: apple tf=2 df=1 beats banana tf=1 df=2
+        assert got[(0, "apple")] == (tfidf(2, 1), 1)
+        assert got[(0, "banana")] == (tfidf(1, 2), 2)
+        # doc 2: cherry tf=2 df=2 vs date tf=1 df=1 — value ranking, not tf
+        assert got[(2, "cherry")][1] == (
+            1 if tfidf(2, 2) > tfidf(1, 1) else 2)
+        assert all(r[1] <= 2 for r in got.values())
+
     def test_winnow_guarantee_and_twin(self, spark):
         from ebel_spark.oracle_docs import WINNOW_K, WINNOW_W
         from ebel_spark.oracle_xxh import spark_xxhash64_str
@@ -265,6 +286,28 @@ class TestVectors:
             vecs, threshold=0.99, dim=16, nbits=4).collect()}
         assert all(b == a + 10 for a, b in pairs)
         assert len(pairs) >= 3
+
+    def test_ivf_dup_pairs_subset_of_exact_and_finds_twins(self, vecs):
+        got = {(r.a, r.b): r.cosine for r in X.ivf_dup_pairs(
+            vecs, threshold=0.99, dim=16, nlist=4).collect()}
+        # exact all-pairs oracle
+        rows = vecs.collect()
+        mat = {r.vec_id: np.array(r.embedding) for r in rows}
+        exact = {}
+        for a in mat:
+            for b in mat:
+                if a < b:
+                    c = float(mat[a] @ mat[b] /
+                              (np.linalg.norm(mat[a]) * np.linalg.norm(mat[b])))
+                    if c >= 0.99:
+                        exact[(a, b)] = c
+        # cluster blocking never invents pairs...
+        assert set(got) <= set(exact)
+        for k, c in got.items():
+            assert abs(c - exact[k]) < 1e-3
+        # ...and a 0.99-cosine twin shares its original's nearest
+        # centroid, so recall on the planted twins is total here
+        assert set(got) == set(exact) and len(got) >= 3
 
 
 class TestAsofJoin:
@@ -485,7 +528,8 @@ class TestContractInline:
              "ann_ivf_exact_topk", "multimodal_byte_stats",
              "doc_split_assign", "doc_pack_bins", "doc_repetition",
              "doc_pii_scrub", "corpus_frequent_ngrams",
-             "events_asof_join", "multimodal_features"]
+             "events_asof_join", "multimodal_features",
+             "doc_tfidf_topk", "doc_source_stats"]
 
     @staticmethod
     def _norm(cols, rows):
