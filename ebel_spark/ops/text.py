@@ -516,6 +516,10 @@ def tfidf_topk(
                      F.explode(tokens(F.col(text_col))).alias("term"))
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # 1-row broadcast cross join: plans as BroadcastNestedLoopJoin with a
+    # single-row build side — the optimal scalar-join shape (whitelisted
+    # in the plan audit; a constant-key equi-join gets folded back to a
+    # cross join by Catalyst)
     n = df.agg(F.count(F.lit(1)).cast("double").alias("n"))
     scored = (
         tf.join(dfreq, "term")
@@ -534,6 +538,48 @@ def tfidf_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(F.col("id").alias(id_col), "term", "tfidf", "rnk")
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    decimals: int = 4,
+) -> DataFrame:
+    """Mean per-token negative log-likelihood under the corpus's own
+    add-one-smoothed unigram LM — the cheap perplexity-style outlier /
+    quality signal (high nll = improbable token mix: boilerplate, other
+    languages, binary junk).
+
+    p(t) = (cnt(t) + 1) / (total + |V|).  The per-doc mean folds
+    floor(1e9 * -ln p) as EXACT long sums (the IVF-quantizer trick), so
+    the score is bit-identical under any partitioning — a plain double
+    sum would vary run-to-run with Spark's partial-agg order.  Shape at
+    scale: one vocab-sized partial-agg shuffle, a broadcast 1-row total,
+    and the token⋈vocab join — broadcast when |V| fits, else AQE handles
+    the stopword skew."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # 1-row broadcast scalar join — see tfidf_topk
+    tot = tc.agg(F.sum("cnt").alias("total"),
+                 F.count(F.lit(1)).alias("vocab"))
+    scored = (
+        toks.join(tc, "term")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "s",
+            F.floor(
+                -F.log((F.col("cnt") + F.lit(1.0))
+                       / (F.col("total") + F.col("vocab")))
+                * F.lit(1000000000.0)).cast("long"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("s").alias("ssum"))
+        .select(F.col("id").alias(id_col), "n_tokens",
+                F.round(F.col("ssum") / (F.lit(1000000000.0)
+                                         * F.col("n_tokens")),
+                        decimals).alias("nll"))
     )
 
 

@@ -944,6 +944,34 @@ def doc_tfidf_topk(spark, sf_dir):
     return T.tfidf_topk(d, "doc_id", "text", k=5, decimals=4)
 
 
+@q("doc_unigram_logprob", """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+         AS term
+  FROM documents
+), tc AS (
+  SELECT term, count(*) AS cnt FROM toks GROUP BY term
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS vocab FROM tc
+), scored AS (
+  SELECT t.doc_id,
+         CAST(floor(-ln((tc.cnt + 1.0) / (tot.total + tot.vocab))
+                    * 1000000000.0) AS BIGINT) AS s
+  FROM toks t JOIN tc USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(s) / (1000000000.0 * count(*)), 4) AS nll
+FROM scored GROUP BY doc_id
+""")
+def doc_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram NLL quality signal (ops/text.unigram_logprob):
+    perplexity-style outlier scoring with an exact scaled-integer fold so
+    the distributed mean is partitioning-independent."""
+    d = _tw(spark, sf_dir, "documents")
+    return T.unigram_logprob(d, "doc_id", "text", decimals=4)
+
+
 @q("doc_source_stats", """
 SELECT source,
        count(*) AS docs,

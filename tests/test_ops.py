@@ -74,6 +74,28 @@ class TestText:
             1 if tfidf(2, 2) > tfidf(1, 1) else 2)
         assert all(r[1] <= 2 for r in got.values())
 
+    def test_unigram_logprob_math_and_partition_independence(self, spark):
+        import math
+        df = spark.createDataFrame(
+            [(0, "a a b"), (1, "b c"), (2, "zzz")], ["doc_id", "text"])
+        # corpus: a:2 b:2 c:1 zzz:1 -> total 6, V=4
+        def p(cnt):
+            return (cnt + 1.0) / (6 + 4)
+        def fold(cnts):
+            s = sum(math.floor(-math.log(p(c)) * 1e9) for c in cnts)
+            return round(s / (1e9 * len(cnts)), 4)
+        got = {r.doc_id: (r.n_tokens, r.nll)
+               for r in T.unigram_logprob(df).collect()}
+        assert got[0] == (3, fold([2, 2, 2]))
+        assert got[1] == (2, fold([2, 1]))
+        assert got[2] == (1, fold([1]))
+        # rare-token doc scores worse than common-token doc
+        assert got[2][1] > got[0][1]
+        # exact integer fold => identical under any partitioning
+        got16 = {r.doc_id: (r.n_tokens, r.nll)
+                 for r in T.unigram_logprob(df.repartition(16)).collect()}
+        assert got16 == got
+
     def test_winnow_guarantee_and_twin(self, spark):
         from ebel_spark.oracle_docs import WINNOW_K, WINNOW_W
         from ebel_spark.oracle_xxh import spark_xxhash64_str
@@ -529,7 +551,7 @@ class TestContractInline:
              "doc_split_assign", "doc_pack_bins", "doc_repetition",
              "doc_pii_scrub", "corpus_frequent_ngrams",
              "events_asof_join", "multimodal_features",
-             "doc_tfidf_topk", "doc_source_stats"]
+             "doc_tfidf_topk", "doc_source_stats", "doc_unigram_logprob"]
 
     @staticmethod
     def _norm(cols, rows):
