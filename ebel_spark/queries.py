@@ -180,6 +180,46 @@ def orders_page_6(spark, sf_dir):
     )
 
 
+@q("orders_page_keyset", """
+WITH cur AS (
+  SELECT o_totalprice AS cp, o_orderkey AS ck
+  FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+  LIMIT 1 OFFSET 99
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders, cur
+WHERE o_totalprice < cp OR (o_totalprice = cp AND o_orderkey > ck)
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+""")
+def orders_page_keyset(spark, sf_dir):
+    """Keyset (cursor) pagination — the 100 TB replacement for
+    OFFSET/LIMIT (orders_page_6): OFFSET must sort-and-discard every
+    earlier row through a single-partition tail, while the keyset filter
+    `(sortkey, id) > cursor` prunes BEFORE the sort and the remaining
+    top-20 is one TakeOrderedAndProject (no global sort at all).  Here
+    the cursor (the rank-100 row) is derived in-query via a 1-row
+    broadcast so the result is self-contained and provably equals
+    orders_page_6's page; a real API passes the cursor as literals and
+    the predicate pushes all the way into the parquet scan."""
+    o = _t(spark, sf_dir, "orders")
+    cur = (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select(F.col("o_totalprice").alias("cp"),
+                F.col("o_orderkey").alias("ck"))
+        .offset(99).limit(1)
+    )
+    return (
+        o.crossJoin(F.broadcast(cur))
+        .filter((F.col("o_totalprice") < F.col("cp"))
+                | ((F.col("o_totalprice") == F.col("cp"))
+                   & (F.col("o_orderkey") > F.col("ck"))))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.3 REST filter algebra (web/api/ebel/v1/__init__.py:213-253)
 # ---------------------------------------------------------------------------
