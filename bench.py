@@ -40,6 +40,11 @@ HEADLINE_QUERIES = [
     "events_asof_join",
     "doc_bm25_topk",
     "doc_winnow_fingerprints",
+    # round-2 late additions (headline set grew 12 -> 16 -> 19 across the
+    # round; compare per-query times, not the raw total)
+    "doc_tfidf_topk",
+    "doc_unigram_logprob",
+    "semantic_dup_pairs",
 ]
 
 
