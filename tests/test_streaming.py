@@ -182,3 +182,53 @@ class TestStreaming:
         got = sorted(r.text for r in spark.table("dedup_t").collect())
         # exactly one survivor per distinct text across ALL micro-batches
         assert got == ["alpha beta", "epsilon zeta", "gamma delta"]
+
+    def test_stream_graph_upsert_equals_batch_materialize(self, spark,
+                                                          tmp_path):
+        """Drain a multi-micro-batch stream through the foreachBatch graph
+        upsert; the accumulated node/edge tables must equal a one-shot
+        batch materialize over the same corpus (the merges are associative
+        folds of the batch aggregations)."""
+        from ebel_spark import graph as G
+        from ebel_spark import parse as P
+        from ebel_spark.streaming import stream_graph_upsert
+
+        src_dir = str(tmp_path / "gsrc")
+        out_dir = str(tmp_path / "gout")
+        ckpt = str(tmp_path / "gckpt")
+
+        pdf = corpus_pandas(CorpusProfile(n_files=10,
+                                          statements_per_file=25))
+        src = spark.createDataFrame(pdf, SOURCE_SCHEMA)
+        # several parquet files + maxFilesPerTrigger=2 -> >= 3 micro-batches
+        src.repartition(6).write.mode("overwrite").parquet(src_dir)
+
+        q = stream_graph_upsert(spark, src_dir, out_dir, ckpt,
+                                max_files_per_trigger=2)
+        q.awaitTermination(300)
+
+        parsed = P.parse_sources(
+            src.withColumn("file_sha", F.sha2("content", 256))).filter("ok")
+        ref_e = G.materialize_edges(P.statements_table(parsed))
+        ref_n = G.materialize_nodes(P.nodes_table(parsed))
+        got_e = spark.read.parquet(out_dir + "/edges")
+        got_n = spark.read.parquet(out_dir + "/nodes")
+
+        cols_e = ["edge_id", "document_ids", "n_statements"]
+        assert got_e.count() == ref_e.count()
+        assert (got_e.select(*cols_e).exceptAll(ref_e.select(*cols_e))
+                .count() == 0)
+        cols_n = ["node_id", "node_class", "bel", "pure", "n_occurrences"]
+        assert got_n.count() == ref_n.count()
+        assert (got_n.select(*cols_n).exceptAll(ref_n.select(*cols_n))
+                .count() == 0)
+
+        # re-running over the same source is a no-op (lineage anti-join)
+        q2 = stream_graph_upsert(spark, src_dir, out_dir,
+                                 str(tmp_path / "gckpt2"),
+                                 max_files_per_trigger=2)
+        q2.awaitTermination(300)
+        again = spark.read.parquet(out_dir + "/edges")
+        assert again.count() == ref_e.count()
+        assert (again.selectExpr("sum(n_statements)").first()[0]
+                == ref_e.selectExpr("sum(n_statements)").first()[0])
