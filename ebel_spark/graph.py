@@ -813,3 +813,67 @@ def neighbor_jaccard(
     return scored.select(
         "x", "y", F.col("inter").cast("long").alias("inter"),
         F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# negative sampling (KG-embedding training data)
+# ---------------------------------------------------------------------------
+
+def _md5_int(col) -> "F.Column":
+    """First 15 hex digits of md5 as a non-negative 60-bit long — the
+    deterministic hash both Spark (conv base16) and DuckDB
+    (CAST '0x'||substr AS BIGINT) evaluate identically."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def negative_samples(
+    edges: DataFrame, k: int = 2, buckets: int = 64,
+    subj: str = "subject_bel", rel: str = "relation",
+    obj: str = "object_bel", edge_id: str = "edge_key",
+) -> DataFrame:
+    """Deterministic corrupted-object negatives for KG-embedding training
+    ((h, r, t) -> k (h, r, t') rows with t' drawn pseudo-randomly from the
+    entity universe), the standard TransE/DistMult training-data op.
+
+    No global entity index: a per-entity md5 bucket is the sampling
+    domain, each (edge, i) hashes to a target bucket, and the winner
+    inside the bucket is the min md5(entity|edge|i) — one equi-join with
+    ~N/buckets fan-out per negative, no single-partition row_number over
+    the entity table (the usual scale trap).  `buckets` grows with the
+    entity count to keep bucket size ~constant at 100 TB.  Negatives that
+    collide with the true object are filtered (filtered negative
+    sampling), so callers get AT MOST k per edge."""
+    pos = edges.select(
+        F.col(edge_id).alias("edge_id"), F.col(subj).alias("subject_bel"),
+        F.col(rel).alias("relation"), F.col(obj).alias("object_bel"))
+    ents = (
+        pos.select(F.col("subject_bel").alias("bel"))
+        .unionAll(pos.select(F.col("object_bel").alias("bel")))
+        .distinct()
+        .withColumn("bucket", F.pmod(_md5_int(F.col("bel")),
+                                     F.lit(buckets)))
+    )
+    probes = pos.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+        .alias("neg_idx")
+    ).withColumn(
+        "bucket",
+        F.pmod(_md5_int(F.concat_ws("#", "edge_id",
+                                    F.col("neg_idx").cast("string"))),
+               F.lit(buckets)))
+    scored = (
+        probes.join(ents, "bucket")
+        .withColumn("score", F.md5(F.concat_ws(
+            "|", "bel", "edge_id", F.col("neg_idx").cast("string"))))
+    )
+    return (
+        scored.groupBy("edge_id", "neg_idx")
+        .agg(F.min(F.struct(F.col("score"), F.col("bel"))).alias("m"),
+             F.first("subject_bel").alias("subject_bel"),
+             F.first("relation").alias("relation"),
+             F.first("object_bel").alias("object_bel"))
+        .withColumn("neg_object_bel", F.col("m.bel"))
+        .filter(F.col("neg_object_bel") != F.col("object_bel"))
+        .select("edge_id", "neg_idx", "subject_bel", "relation",
+                "neg_object_bel")
+    )

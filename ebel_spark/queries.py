@@ -2450,6 +2450,51 @@ def bel_components(spark, sf_dir):
     )
 
 
+@q("bel_negative_samples", f"""
+WITH pos AS (
+  SELECT DISTINCT edge_key AS edge_id, subject_bel, relation, object_bel
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), ents AS (
+  SELECT bel,
+         CAST(('0x' || substr(md5(bel), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM (SELECT subject_bel AS bel FROM pos
+        UNION SELECT object_bel FROM pos)
+), probes AS (
+  SELECT p.*, i.neg_idx,
+         CAST(('0x' || substr(md5(p.edge_id || '#' || i.neg_idx), 1, 15))
+              AS BIGINT) % 64 AS bucket
+  FROM pos p CROSS JOIN (SELECT unnest([0, 1]) AS neg_idx) i
+), scored AS (
+  SELECT pr.edge_id, pr.neg_idx, pr.subject_bel, pr.relation,
+         pr.object_bel, e.bel,
+         md5(e.bel || '|' || pr.edge_id || '|' || pr.neg_idx) AS score
+  FROM probes pr JOIN ents e USING (bucket)
+)
+SELECT edge_id, neg_idx, subject_bel, relation, bel AS neg_object_bel
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY edge_id, neg_idx
+                           ORDER BY score, bel) = 1
+  AND bel <> object_bel
+""")
+def bel_negative_samples(spark, sf_dir):
+    """KG-embedding training data: k=2 deterministic corrupted-object
+    negatives per positive edge (graph.negative_samples) — hash-bucket
+    sampling domain, winner = min md5(entity|edge|i) inside the probed
+    bucket, true-object collisions filtered.  No global entity index
+    (the single-partition row_number trap); one equi-join with
+    ~N/buckets fan-out per negative."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    pos = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select("edge_key", "subject_bel", "relation", "object_bel")
+        .distinct()
+    )
+    return G.negative_samples(pos, k=2, buckets=64)
+
+
 def _lpa_oracle_sql(iters: int = 5) -> str:
     """Chained-CTE DuckDB twin of graph.label_propagation: one CTE per
     synchronous round, same (count DESC, label ASC) tie-break."""

@@ -142,3 +142,31 @@ class TestNeighborJaccard:
         assert ("x", "y") in pairs
         # no pair may be witnessed by the super-hub alone
         assert ("w", "x") not in pairs and ("w", "z") not in pairs
+
+
+class TestNegativeSamples:
+    def test_deterministic_filtered_and_bounded(self, spark):
+        from ebel_spark import graph as G
+        from pyspark.sql import functions as F
+        edges = spark.createDataFrame(
+            [(f"e{i}", f"p(HGNC:S{i % 7})", "increases", f"p(HGNC:T{i % 5})")
+             for i in range(40)],
+            ["edge_key", "subject_bel", "relation", "object_bel"])
+        got = G.negative_samples(edges, k=2, buckets=8).collect()
+        # at most k per edge, never the true object, drawn from the universe
+        ents = {r[0] for r in edges.select("subject_bel").collect()} | \
+               {r[0] for r in edges.select("object_bel").collect()}
+        per_edge = {}
+        for r in got:
+            per_edge.setdefault(r.edge_id, []).append(r)
+            assert r.neg_object_bel != \
+                [x for x in edges.collect() if x.edge_key == r.edge_id][0] \
+                .object_bel
+            assert r.neg_object_bel in ents
+        assert all(len(v) <= 2 for v in per_edge.values())
+        assert sum(len(v) for v in per_edge.values()) >= 40  # mostly 2/edge
+        # bit-reproducible under repartitioning
+        again = G.negative_samples(edges.repartition(16), k=2,
+                                   buckets=8).collect()
+        key = lambda r: (r.edge_id, r.neg_idx, r.neg_object_bel)
+        assert sorted(map(key, got)) == sorted(map(key, again))
