@@ -350,3 +350,45 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    shingle_n: int = 3, threshold: float = 0.8, max_df: int = 50,
+) -> DataFrame:
+    """Pairs where the smaller document's shingle set is largely CONTAINED
+    in the other's: |A ∩ B| / min(|A|, |B|) >= threshold.  Catches
+    quote/subset near-dups that symmetric Jaccard misses — a short doc
+    embedded verbatim in a long one has Jaccard ≈ |A|/|B| (tiny) but
+    containment ≈ 1.  Candidate generation is the same rare-shingle
+    inverted index as ngram_jaccard_pairs (df-capped equi-join, never
+    all-pairs)."""
+    from ..ops.text import with_shingles
+    base = _pin(
+        with_shingles(df, text_col, "sh", shingle_n)
+        .select(F.col(id_col).alias("id"), "sh")
+        .filter(F.size("sh") > 0))
+    inv = base.select("id", F.explode("sh").alias("shingle"))
+    rare = (
+        inv.groupBy("shingle").count()
+        .filter((F.col("count") > 1) & (F.col("count") <= max_df))
+        .select("shingle")
+    )
+    inv = inv.join(F.broadcast(rare), "shingle")
+    cand = (
+        inv.alias("l").join(inv.alias("r"), "shingle")
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sh_a = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sh_a, "a").join(sh_b, "b")
+        .withColumn(
+            "containment",
+            F.round(inter / F.least(F.size("sh_a"), F.size("sh_b")), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )

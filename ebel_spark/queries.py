@@ -830,6 +830,39 @@ def doc_ngram_jaccard_pairs(spark, sf_dir):
                                  threshold=0.5, max_df=1000)
 
 
+@q("doc_ngram_containment_pairs", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct(list_transform(range(len(ts) - 2),
+             i -> array_to_string(ts[i+1:i+3], ' ')))
+         WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+         ELSE [] END AS sh
+  FROM toks
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+             least(len(a.sh), len(b.sh)), 6) AS containment
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(a.sh) > 0 AND len(b.sh) > 0
+  AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+      least(len(a.sh), len(b.sh)) >= 0.8
+""")
+def doc_ngram_containment_pairs(spark, sf_dir):
+    """Subset/quote near-dups: |A∩B| / min(|A|,|B|) >= 0.8
+    (ops/dedup.ngram_containment_pairs) — the asymmetric companion of
+    doc_ngram_jaccard_pairs; a short doc quoted inside a long one scores
+    ~1 here but near 0 on Jaccard."""
+    d = _tw(spark, sf_dir, "documents")
+    return D.ngram_containment_pairs(d, "doc_id", "text", shingle_n=3,
+                                     threshold=0.8, max_df=1000)
+
+
 @q("doc_bpe_token_counts", """
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))

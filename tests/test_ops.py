@@ -183,6 +183,26 @@ class TestDedup:
         assert (0, 1) in pairs and 0.3 < pairs[(0, 1)] < 1.0
         assert (0, 2) not in pairs
 
+    def test_containment_catches_quote_that_jaccard_misses(self, spark):
+        quoted = "alpha beta gamma delta epsilon zeta eta theta"
+        long_doc = ("intro words before the quote " + quoted
+                    + " and many many trailing filler words one two three"
+                    " four five six seven eight nine ten eleven twelve")
+        df = spark.createDataFrame(
+            [(0, quoted), (1, long_doc),
+             (2, "completely different content with no shared phrasing")],
+            ["doc_id", "text"])
+        cont = {(r.a, r.b): r.containment
+                for r in D.ngram_containment_pairs(
+                    df, "doc_id", "text", shingle_n=3,
+                    threshold=0.8, max_df=100).collect()}
+        jac = {(r.a, r.b) for r in D.ngram_jaccard_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.8,
+            max_df=100).collect()}
+        assert cont[(0, 1)] == 1.0       # every shingle of 0 is inside 1
+        assert (0, 1) not in jac         # symmetric Jaccard misses it
+        assert (0, 2) not in cont and (1, 2) not in cont
+
     def test_minhash_matches_exact_jaccard(self, docs):
         mh = {(r.a, r.b): r.jaccard for r in D.minhash_lsh_pairs(
             docs, "doc_id", "text", k=32, bands=16, shingle_n=3,
