@@ -1185,8 +1185,9 @@ WITH c AS (
   FROM documents)
 SELECT source, doc_id, cost, cum_cost FROM (
   SELECT source, doc_id, cost,
-         sum(cost) OVER (PARTITION BY source ORDER BY pri, doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         CAST(sum(cost) OVER (PARTITION BY source ORDER BY pri, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT)
            AS cum_cost
   FROM c)
 WHERE cum_cost <= 5000
@@ -2902,6 +2903,58 @@ def paths_upto_3(spark, sf_dir):
         .select("n1", "n2", "n3", F.col("p3").alias("n4"))
     p3 = h3.select(F.lit(3).alias("path_len"), "n1", "n2", "n3", "n4")
     return p1.unionByName(p2).unionByName(p3)
+
+
+# ---------------------------------------------------------------------------
+# Registry order.  The driver's correctness gate checks the FIRST 50 queries
+# in registration (dict-insertion) order; round 2 registered the flagship
+# bel_* / dedup / ANN / multimodal queries at positions 51-86 and they got no
+# driver row (VERDICT r2 item 1).  Reorder so every flagship lands inside the
+# gate window; the demoted TPC-H/doc demos already have green rows in
+# CORRECTNESS_r02 and keep their pytest + local-gate coverage.
+# ---------------------------------------------------------------------------
+
+_FRONT = [
+    # BEL flagships — the queries the project exists for
+    "bel_triples", "bel_nodes", "bel_validation_errors",
+    "bel_relation_counts", "bel_edge_dedup_counts", "bel_edge_filter_algebra",
+    "bel_node_class_counts", "bel_pub_year_stats", "bel_annotation_stats",
+    "bel_ambiguity_warnings", "bel_multiple_definitions",
+    "bel_semantic_errors",
+    # graph analytics
+    "bel_node_degree", "bel_pagerank", "bel_triangle_counts",
+    "bel_bfs_depths", "bel_kcore", "bel_components", "bel_negative_samples",
+    "bel_communities_lpa", "bel_neighbor_jaccard",
+    "edges_reverse_union", "paths_upto_3", "bel_paths", "bel_match",
+    # hash-dedup family
+    "doc_minhash_pairs", "doc_simhash_pairs",
+    # ANN / embedding family
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_exact_topk",
+    "embedding_dup_pairs_exact", "embedding_dup_pairs_lsh",
+    "semantic_dup_pairs",
+    # multimodal family
+    "multimodal_features", "multimodal_byte_stats", "video_frame_plan",
+    "image_resize_spec",
+    # red row in r2 (oracle HUGEINT cast fixed this round) — needs a fresh
+    # green driver row
+    "doc_budget_slice",
+    # representative non-redundant coverage of the remaining families
+    "pricing_summary", "top_customers_per_nation", "events_asof_join",
+    "stream_user_sessions", "value_bucket_range_join", "doc_exact_dups",
+    "doc_dup_clusters", "doc_ngram_jaccard_pairs", "doc_training_manifest",
+    "doc_bm25_topk", "doc_lang_quality",
+]
+
+
+def _reorder_registry() -> None:
+    front = {n: QUERIES[n] for n in _FRONT if n in QUERIES}
+    rest = {n: v for n, v in QUERIES.items() if n not in front}
+    QUERIES.clear()
+    QUERIES.update(front)
+    QUERIES.update(rest)
+
+
+_reorder_registry()
 
 
 def queries() -> dict:

@@ -19,6 +19,50 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def dtype_family(t: str) -> str:
+    """Collapse a Spark or DuckDB dtype string to the family the driver's
+    value hash distinguishes.  HUGEINT and DECIMAL are deliberately NOT
+    merged into int/float: DuckDB window/plain sum(BIGINT) yields HUGEINT
+    and sum(DOUBLE-ish DECIMAL) yields DECIMAL, and both hash differently
+    from Spark's long/double even at equal values (the r2 doc_budget_slice
+    red row).  Oracles must CAST them."""
+    t = t.lower().strip()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t in ("hugeint", "int128", "uhugeint"):
+        return "hugeint"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "short", "byte", "utinyint", "usmallint", "uinteger",
+             "ubigint"):
+        return "int"
+    if t in ("float", "double", "real", "float4", "float8"):
+        return "float"
+    if t in ("varchar", "string", "text", "char"):
+        return "str"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t.startswith(("array", "list", "struct", "map",
+                     "row(")) or "[]" in t:
+        return "nested"
+    if "timestamp" in t:
+        return "timestamp"
+    if t == "date":
+        return "date"
+    return t
+
+
+def dtype_mismatches(scols, sdtypes, ocols, odtypes):
+    """Return [(col, spark_family, duckdb_family)] for columns whose dtype
+    families differ (matched by lowercase column name)."""
+    sfam = {c.lower(): dtype_family(t) for c, t in zip(scols, sdtypes)}
+    ofam = {c.lower(): dtype_family(t) for c, t in zip(ocols, odtypes)}
+    out = []
+    for c in sorted(set(sfam) & set(ofam)):
+        if sfam[c] != ofam[c]:
+            out.append((c, sfam[c], ofam[c]))
+    return out
+
+
 def norm_cell(v):
     import decimal
     if isinstance(v, decimal.Decimal):
@@ -71,6 +115,7 @@ def main():
         try:
             res = con.sql(oracles[name])
             ocols = [c for c in res.columns]
+            otypes = [str(t) for t in res.types]
             orows = res.fetchall()
         except Exception as exc:
             failures.append(name)
@@ -79,6 +124,12 @@ def main():
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
             failures.append(name)
             print(f"FAIL  {name:32s} schema {sorted(scols)} vs {sorted(ocols)}")
+            continue
+        mism = dtype_mismatches(scols, [t for _, t in sdf.dtypes],
+                                ocols, otypes)
+        if mism:
+            failures.append(name)
+            print(f"FAIL  {name:32s} dtype families differ: {mism}")
             continue
         if len(srows) != len(orows):
             failures.append(name)
