@@ -72,6 +72,22 @@ def edge_key_col(relation, subj, obj, ctype, cref, evidence, anno_flat):
     return F.substring(F.sha2(raw, 256), 1, 32)
 
 
+
+
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut plan lineage for iterative ops (pagerank/BFS/LPA/k-core/CC
+    and the unrolled closures): RELIABLE checkpoint when
+    spark.checkpoint.dir is set — blocks are replicated to the
+    checkpoint store, so an executor loss mid-iteration recovers on a
+    real cluster — falling back to localCheckpoint (executor-local,
+    non-replicated blocks) otherwise.  Same values either way; only the
+    storage durability differs."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 # ---------------------------------------------------------------------------
 # nodes
 # ---------------------------------------------------------------------------
@@ -335,7 +351,7 @@ def descendant_closure(
         acc = acc.unionByName(frontier)
     depth = min(_STATIC_DEPTH, max_depth)
     if depth < max_depth:
-        frontier = extend(frontier).localCheckpoint(eager=True)
+        frontier = extend(frontier).transform(cut_lineage)
         while not frontier.isEmpty():
             acc = acc.unionByName(frontier)
             depth += 1
@@ -343,7 +359,7 @@ def descendant_closure(
                 # don't extend a level that could never be added to acc —
                 # that would eagerly materialize one wasted Spark job
                 break
-            frontier = extend(frontier).localCheckpoint(eager=True)
+            frontier = extend(frontier).transform(cut_lineage)
     return acc.distinct()
 
 
@@ -528,7 +544,7 @@ def pagerank(
     source key) plus a map-side-combined aggregation on the destination
     key — the standard distributed formulation.  The dangling mass is a
     scalar reduce per iteration (an aggregate action, never a data
-    collect).  Lineage is cut with localCheckpoint each round so the plan
+    collect).  Lineage is cut (cut_lineage: reliable checkpoint when configured) so the plan
     stays O(1) deep instead of O(iters).
 
     At cluster scale, pre-partition `edges` by `src` and keep ranks
@@ -540,7 +556,7 @@ def pagerank(
         e.select(F.col("u").alias("bel"))
         .union(e.select(F.col("v").alias("bel")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     n = nodes.count()
     outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("odeg"))
@@ -549,7 +565,7 @@ def pagerank(
     ranks = (
         nodes.join(outdeg, nodes["bel"] == outdeg["u"], "left")
         .select("bel", "odeg", F.lit(1.0 / n).alias("rank"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     base = (1.0 - damping) / n
     for _ in range(iters):
@@ -573,7 +589,7 @@ def pagerank(
                  * (F.coalesce(F.col("contrib"), F.lit(0.0))
                     + F.lit(dangling / n))).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return ranks.select("bel", "rank")
 
@@ -606,7 +622,7 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
 
     Returns (bel, n_triangles) for nodes in >= 1 triangle.
     """
-    und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    und = undirected_edges(edges, src, dst).transform(cut_lineage)
     deg = (
         und.select(F.col("a").alias("n"))
         .unionAll(und.select(F.col("b").alias("n")))
@@ -626,7 +642,7 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("s"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("t"),
         F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kt"),
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     o1 = oriented.select(F.col("s"), F.col("t").alias("v"), F.col("kt").alias("kv"))
     o2 = oriented.select(F.col("s"), F.col("t").alias("w"), F.col("kt").alias("kw"))
     wedges = (
@@ -654,14 +670,14 @@ def bfs_depths(
     frontier-expansion BFS: each level is one equi-join (frontier x edges
     on the source key) plus an anti-join against the visited set — the
     standard Pregel level-synchronous formulation as DataFrame rounds,
-    with localCheckpoint cutting lineage per level.
+    with cut_lineage cutting lineage per level.
 
     `source` is a 1-row DataFrame with a `bel` column (kept as a frame so
     the whole computation stays declarative — no driver-side collect of
     graph data).  Returns (bel, dist) for every node within `max_depth`.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
-    visited = source.select("bel", F.lit(0).alias("dist")).localCheckpoint(eager=True)
+    visited = source.select("bel", F.lit(0).alias("dist")).transform(cut_lineage)
     frontier = visited
     for depth in range(1, max_depth + 1):
         nxt = (
@@ -670,11 +686,11 @@ def bfs_depths(
             .distinct()
             .join(visited, "bel", "left_anti")
             .select("bel", F.lit(depth).alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        visited = visited.unionAll(nxt).transform(cut_lineage)
         frontier = nxt
     return visited
 
@@ -697,7 +713,7 @@ def kcore_peel(
     keys, lineage cut per round.  Returns (bel, deg): surviving nodes
     with their degree in the peeled subgraph.
     """
-    e = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    e = undirected_edges(edges, src, dst).transform(cut_lineage)
     for _ in range(rounds):
         deg = (
             e.select(F.col("a").alias("n"))
@@ -709,7 +725,7 @@ def kcore_peel(
         e = (
             e.join(keep.select(F.col("n").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("n").alias("b")), "b", "left_semi")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return (
         e.select(F.col("a").alias("bel"))
@@ -743,7 +759,7 @@ def label_propagation(
     und = undirected_edges(edges, src, dst)
     adj = und.select(F.col("a").alias("n"), F.col("b").alias("h")).unionAll(
         und.select(F.col("b").alias("n"), F.col("a").alias("h"))
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     labels = adj.select(F.col("n").alias("bel")).distinct().select(
         "bel", F.col("bel").alias("label"))
     w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
@@ -757,7 +773,7 @@ def label_propagation(
             counts.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("n").alias("bel"), "label")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return labels
 
@@ -785,7 +801,7 @@ def neighbor_jaccard(
     Returns (x, y, inter, jaccard) with x < y and jaccard >= threshold,
     jaccard rounded to 6 dp.
     """
-    und = undirected_edges(edges, src, dst).localCheckpoint(eager=True)
+    und = undirected_edges(edges, src, dst).transform(cut_lineage)
     adj = und.select(F.col("a").alias("n"), F.col("b").alias("h")).unionAll(
         und.select(F.col("b").alias("n"), F.col("a").alias("h")))
     hub_ok = (
@@ -793,7 +809,7 @@ def neighbor_jaccard(
         .filter(F.col("hd") <= max_hub)
         .select("h")
     )
-    capped = adj.join(hub_ok, "h", "left_semi").localCheckpoint(eager=True)
+    capped = adj.join(hub_ok, "h", "left_semi").transform(cut_lineage)
     deg = capped.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
     pairs = (
         capped.select("h", F.col("n").alias("x"))
@@ -877,3 +893,288 @@ def negative_samples(
         .select("edge_id", "neg_idx", "subject_bel", "relation",
                 "neg_object_bel")
     )
+
+
+# ---------------------------------------------------------------------------
+# path + match queries (the reference's REST graph-query layer)
+# ---------------------------------------------------------------------------
+
+class PathExplosionError(ValueError):
+    """Raised when a path query exceeds its result caps — the reference
+    REFUSES oversized results instead of truncating (bel.py:1066-1076
+    too_many_paths / too_many_edges messages)."""
+
+
+_HOW_EXACT = "exact"
+
+
+def _how_pred(col, value: str, how: str | None):
+    """Spark twin of _get_where_by_how (bel.py:338-352) for the string
+    search modes (exact / contains / starts_with / ends_with /
+    case_sensitive; OrientDB LIKE is case-sensitive, so case_sensitive
+    equals exact)."""
+    how = how or _HOW_EXACT
+    if how == "contains":
+        return col.contains(value)
+    if how == "starts_with":
+        return col.startswith(value)
+    if how == "ends_with":
+        return col.endswith(value)
+    return col == value  # exact / case_sensitive
+
+
+def expand_node_class(node_class: str) -> list[str]:
+    """Leaf classes matched by an OrientDB `class:X` constraint: X itself
+    plus every class whose ancestor chain contains X (OrientDB MATCH is
+    polymorphic over the class hierarchy)."""
+    return sorted(
+        c for c, anc in NODE_CLASS_ANCESTORS.items()
+        if c == node_class or node_class in anc
+    )
+
+
+def _node_spec_pred(spec: dict):
+    """Node-dim predicate for a PathQuery outside-node spec (MatchNode.
+    get_node, bel.py:920-960): bel pattern; namespace-only; name-only
+    (plain name for gene/rna/protein, involved_genes/involved_other
+    membership otherwise); name AND namespace; plus the class constraint.
+    Evaluated over the node dimension (bel, node_class, namespace, name
+    [, involved_genes, involved_other])."""
+    pred = F.lit(True)
+    name = spec.get("name")
+    namespace = spec.get("namespace")
+    bel = spec.get("bel")
+    node_class = spec.get("node_class")
+    if node_class:
+        pred = pred & F.col("node_class").isin(expand_node_class(node_class))
+    if bel:
+        pred = pred & _how_pred(F.col("bel"), bel, spec.get("how_bel"))
+    if namespace and not name:
+        pred = pred & (F.col("namespace") == namespace)
+    elif name and not namespace:
+        if node_class in ("gene", "rna", "protein"):
+            pred = pred & _how_pred(F.col("name"), name, spec.get("how_name"))
+        else:
+            pred = pred & (
+                F.array_contains(F.col("involved_genes"), name)
+                | F.array_contains(F.col("involved_other"), name))
+    elif name and namespace:
+        pred = pred & _how_pred(F.col("name"), name, spec.get("how_name")) \
+            & (F.col("namespace") == namespace)
+    return pred
+
+
+def _spec_needs_nodes(spec: dict | None) -> bool:
+    return bool(spec) and any(
+        spec.get(k) for k in ("name", "namespace", "bel"))
+
+
+def path_query(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    *,
+    min_len: int = 1,
+    max_len: int = 3,
+    start: dict | None = None,
+    end: dict | None = None,
+    inside_node_class: str | None = None,
+    gene_path: bool = False,
+    relations: list[str] | None = None,
+    anno_terms: list[str] | None = None,
+    anno_key: str = "mesh",
+    pmids: list[int] | None = None,
+    max_paths: int = 100_000,
+    max_unique_edges: int | None = 1_000,
+    skip: int = 0,
+    limit: int = 0,
+) -> DataFrame:
+    """The reference's parametrized PathQuery (bel.py:982-1144) as a
+    static unrolled join DAG: one directed hop join per edge position,
+    one branch per path length in [min_len, max_len].
+
+    Faithful semantics:
+      * start/end node specs: name / namespace / bel with exact /
+        contains / starts_with / ends_with search modes, node class
+        polymorphic over the class hierarchy (MatchNode.set_outside);
+      * the LAST node must differ from the FIRST ($matched.n1 !=
+        $currentMatch, bel.py:948);
+      * inside nodes: optional class constraint; gene_path keeps only
+        inside nodes with non-empty involved_genes (MatchNode.set_inside);
+      * edges: relation-class membership (single or multiple), annotation
+        term OR-membership (the reference's mesh_terms over
+        annotation.mesh; `anno_key` generalizes the key), pmid membership
+        (MatchEdge.get_edge);
+      * caps: the query RAISES PathExplosionError past max_paths per
+        length or max_unique_edges distinct edges overall — the
+        reference refuses oversized results rather than truncating;
+      * skip/limit: deterministic keyset over the (path_len, nodes, edges)
+        tuple order.
+
+    Scale shape: each hop is an equi-join on the node key; the edge side
+    is filtered ONCE before any hop (predicate pushdown to the scan),
+    node-spec filters become broadcast semi-joins of the (small) matching
+    node set, and the caps are enforced with aggregate counts — never a
+    global sort of the path set.  Returns
+    (path_len, n1..n{max_len+1}, e1..e{max_len}).
+    """
+    if not (1 <= min_len <= max_len):
+        raise ValueError("need 1 <= min_len <= max_len")
+    epred = F.lit(True)
+    if relations:
+        epred = epred & F.col("relation").isin(list(relations))
+    if anno_terms:
+        term_or = F.lit(False)
+        for t in anno_terms:
+            term_or = term_or | F.array_contains(
+                F.col("annotation")[anno_key], t)
+        epred = epred & term_or
+    if pmids:
+        epred = epred & F.col("pmid").isin([int(x) for x in pmids])
+    e = edges.filter(epred).select(
+        F.col("edge_id").alias("eid"),
+        F.col("subject_bel").alias("s"), F.col("subject_class").alias("sc"),
+        F.col("object_bel").alias("o"), F.col("object_class").alias("oc"),
+    )
+
+    def _allowed_set(spec: dict) -> DataFrame:
+        if nodes is None:
+            raise ValueError(
+                "name/namespace/bel node specs need the nodes dimension")
+        return nodes.filter(_node_spec_pred(spec)).select("bel").distinct()
+
+    # start constraint on the subject of hop 1
+    e1 = e
+    if start:
+        if _spec_needs_nodes(start):
+            e1 = e1.join(F.broadcast(_allowed_set(start)),
+                         e1["s"] == F.col("bel"), "left_semi")
+        if start.get("node_class"):
+            e1 = e1.filter(F.col("sc").isin(
+                expand_node_class(start["node_class"])))
+
+    # inside constraint applied to the OBJECT of a non-final hop
+    def _inside(df: DataFrame) -> DataFrame:
+        if inside_node_class:
+            df = df.filter(F.col("oc").isin(
+                expand_node_class(inside_node_class)))
+        if gene_path and not inside_node_class:
+            if nodes is None:
+                raise ValueError("gene_path needs the nodes dimension")
+            genic = (nodes.filter(F.size("involved_genes") > 0)
+                     .select("bel").distinct())
+            df = df.join(F.broadcast(genic), df["o"] == F.col("bel"),
+                         "left_semi")
+        return df
+
+    # end constraint applied to the OBJECT of the final hop
+    def _end(df: DataFrame, first_col: str, obj_col: str) -> DataFrame:
+        df = df.filter(F.col(obj_col) != F.col(first_col))
+        if end:
+            if _spec_needs_nodes(end):
+                df = df.join(F.broadcast(_allowed_set(end)),
+                             df[obj_col] == F.col("bel"), "left_semi")
+            if end.get("node_class"):
+                df = df.filter(F.col("oc").isin(
+                    expand_node_class(end["node_class"])))
+        return df
+
+    nulls = F.lit(None).cast("string")
+    n_cols = [f"n{i}" for i in range(1, max_len + 2)]
+    e_cols = [f"e{i}" for i in range(1, max_len + 1)]
+    branches: list[DataFrame] = []
+    for k in range(min_len, max_len + 1):
+        cur = e1 if k > 1 else _end(e1, "s", "o")
+        if k > 1:
+            cur = _inside(cur)
+        cur = cur.select(F.col("s").alias("n1"), F.col("o").alias("n2"),
+                         F.col("eid").alias("e1"))
+        for h in range(2, k + 1):
+            nxt = e.select(F.col("s").alias("_hs"),
+                           F.col("o").alias("_ho"),
+                           F.col("oc"),
+                           F.col("eid").alias(f"e{h}"))
+            cur = cur.join(nxt, cur[f"n{h}"] == nxt["_hs"])
+            cur = _end(cur, "n1", "_ho") if h == k else _inside(cur)
+            cur = cur.withColumnRenamed("_ho", f"n{h + 1}") \
+                     .drop("_hs", "oc")
+        sel = [F.lit(k).alias("path_len")]
+        sel += [F.col(c) if i < k + 1 else nulls.alias(c)
+                for i, c in enumerate(n_cols)]
+        sel += [F.col(c) if i < k else nulls.alias(c)
+                for i, c in enumerate(e_cols)]
+        branches.append(cur.select(*sel))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    out = cut_lineage(out)
+
+    # caps as aggregate COUNTS (no global sort): refuse, don't truncate
+    if max_paths:
+        over = (out.groupBy("path_len").count()
+                .filter(F.col("count") > max_paths).collect())
+        if over:
+            raise PathExplosionError(
+                f"more than {max_paths} paths at length(s) "
+                f"{sorted(r['path_len'] for r in over)}")
+    if max_unique_edges:
+        eids = out.select(F.col("e1").alias("eid"))
+        for c in e_cols[1:]:
+            eids = eids.unionAll(out.select(F.col(c).alias("eid")))
+        n_edges = (eids.filter(F.col("eid").isNotNull())
+                   .distinct().count())
+        if n_edges > max_unique_edges:
+            raise PathExplosionError(
+                f"{n_edges} unique edges > max {max_unique_edges}")
+    if skip or limit:
+        w = Window.orderBy(*(["path_len"] + n_cols + e_cols))
+        out = (out.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") > skip))
+        if limit:
+            out = out.filter(F.col("_rn") <= skip + limit)
+        out = out.drop("_rn")
+    return out
+
+
+def match_context(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_class: str | None = None,
+    node_where=None,
+    edge_relations: list[str] | None = None,
+    edge_where=None,
+    direction: str = "both",
+) -> DataFrame:
+    """MATCH-shaped context filter (odb_meta.py:1445-1474): nodes of a
+    class satisfying a property predicate that touch at least one edge
+    satisfying the edge predicate — OrientDB
+    ``match {class:X, where:(...)}.(bothE('rel'){where:(...)})`` as one
+    composable operator.  Returns the matching node rows (distinct by
+    construction of the node table).
+
+    Scale shape: the edge predicate is pushed to the edge scan, the
+    touched-node set collapses through a distinct on the node key, and
+    the final constraint is a semi-join — node payloads never ride
+    through the shuffle.
+    """
+    ef = edges
+    if edge_relations:
+        ef = ef.filter(F.col("relation").isin(list(edge_relations)))
+    if edge_where is not None:
+        ef = ef.filter(edge_where)
+    sides = []
+    if direction in ("both", "out"):
+        sides.append(ef.select(F.col("subject_bel").alias("bel")))
+    if direction in ("both", "in"):
+        sides.append(ef.select(F.col("object_bel").alias("bel")))
+    touched = sides[0]
+    for s in sides[1:]:
+        touched = touched.unionAll(s)
+    touched = touched.distinct()
+    nf = nodes
+    if node_class:
+        nf = nf.filter(F.col("node_class").isin(
+            expand_node_class(node_class)))
+    if node_where is not None:
+        nf = nf.filter(node_where)
+    return nf.join(touched, "bel", "left_semi")

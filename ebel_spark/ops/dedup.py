@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..graph import cut_lineage
+
 from .text import shingles, tokens, with_shingles
 
 
@@ -238,20 +240,21 @@ def connected_components(
     the property that matters at 10^12-node scale (cf. the Hash-to-Min /
     two-phase CC MapReduce algorithms); near-dup graphs are usually
     shallow, so typical runs take 2-4 rounds.  Lineage is truncated with
-    localCheckpoint every round so the plan stays O(1) deep.
+    cut_lineage (reliable checkpoint when a checkpoint dir is
+    set, else localCheckpoint) every round so the plan stays O(1) deep.
     """
     edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
     edges = (
         edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
-        .localCheckpoint(eager=False)
+        .transform(lambda d: cut_lineage(d, eager=False))
     )
     labels = edges.select(F.col("u").alias("id")).distinct()
     if nodes is not None:
         node_ids = nodes.select(F.col(nodes.columns[0]).alias("id"))
         labels = labels.union(node_ids).distinct()
-    labels = labels.withColumn("label", F.col("id")).localCheckpoint(eager=True)
+    labels = labels.withColumn("label", F.col("id")).transform(cut_lineage)
 
     for _ in range(max_iter):
         # (1) pull the min label across each node's neighborhood
@@ -269,7 +272,7 @@ def connected_components(
         new = (
             new.join(hop, "label", "left")
             .select("id", F.coalesce("label2", "label").alias("label"))
-            .localCheckpoint(eager=False)
+            .transform(lambda d: cut_lineage(d, eager=False))
         )
         # single action per round: the convergence probe materializes the
         # (lazy) checkpoint as a side effect

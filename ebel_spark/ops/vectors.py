@@ -1,50 +1,131 @@
 """Similarity search over embedding columns (array<float>).
 
 - brute-force cosine top-k: exact baseline — broadcast the (small) query
-  set against the corpus, dot products in column algebra (zip_with +
-  aggregate, whole-stage codegen), top-k per query via window rank.
+  set against the corpus, top-k per query via window rank.
 - random-hyperplane LSH: the scale path — bucket join on sign-bit keys,
-  exact re-rank inside buckets only.  Hyperplanes are seeded and shipped
-  as literal arrays (no Python in the hot path).
+  exact re-rank inside buckets only.
+- IVF (k-means inverted lists): density-adaptive blocking — probe
+  equi-join on list_id, exact re-rank inside probed lists.
+
+Hot-path arithmetic discipline (the r2 perf fix):
+
+* The pair-wise cosine is the O(candidate-pairs) cost.  `dot`/`norm`
+  with a known `dim` unroll into a left-associated sum of per-element
+  products — a data-independent whole-stage-codegen expression — instead
+  of interpreted `aggregate(zip_with(...))` lambda dispatches (2*dim
+  virtual calls per pair; measured 109 s -> ~1 s on semantic_dup_pairs
+  at sf0.1).  The unrolled form performs the exact same IEEE op
+  sequence as the HOF left fold (element product at the native dtype,
+  widened to double, accumulated left-to-right), so every value is
+  bit-identical and the DuckDB oracles are untouched.
+* Norms are computed once per ROW (n evaluations) before any self-join
+  and carried through it, never once per PAIR (n^2 evaluations).
+* Model matrices (hyperplanes, centroids) ride as a 1-row broadcast
+  column (`attach_model`), never as scalar literals: literals are
+  inlined into the generated source, so a new model forced a fresh
+  Janino compile per query/iteration (~8 s at nlist=8 x dim=64); as
+  column data the generated code is model-independent and compiles
+  once per session across all queries and Lloyd rounds.
 """
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
-def dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+def dot(a, b, dim: int | None = None):
+    """Dot product of two array columns in the fold arithmetic
+    aggregate(zip_with(a, b, x*y), 0.0, acc+v): per-element product at
+    the elements' (promoted) dtype, widened to double, summed
+    left-to-right.  With `dim` the sum is unrolled into codegen (the
+    hot-pair path); without, the generic interpreted HOF runs (API
+    compatibility for unknown-width arrays)."""
+    if dim is None:
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, v: acc + v)
+    acc = (a[0] * b[0]).cast("double")
+    for i in range(1, dim):
+        acc = acc + (a[i] * b[i]).cast("double")
+    return acc
 
 
-def norm(a):
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, v: acc + v))
+def norm(a, dim: int | None = None):
+    if dim is None:
+        return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                                  F.lit(0.0), lambda acc, v: acc + v))
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a, b):
-    d = norm(a) * norm(b)
-    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+def cosine(a, b, dim: int | None = None, na=None, nb=None):
+    """Cosine similarity.  Pass precomputed per-row norm columns
+    na/nb when a/b flow through a self-join — norms are then n
+    evaluations instead of n^2.  Values are bit-identical either way
+    (same doubles, same op order)."""
+    d = ((na if na is not None else norm(a, dim))
+         * (nb if nb is not None else norm(b, dim)))
+    return F.when(d > 0, dot(a, b, dim) / d).otherwise(F.lit(0.0))
+
+
+def attach_model(df: DataFrame, mat, name: str) -> DataFrame:
+    """Attach a small model matrix (hyperplanes / centroids) as a 1-row
+    broadcast column.  The BroadcastNestedLoopJoin this produces has a
+    single build row — O(rows) and the optimal plan for a scalar-ish
+    join (a constant-key equi-join would be folded back to a cross join
+    by Catalyst anyway); at 100 TB the matrix is KB-sized and ships in
+    the task broadcast like any dimension."""
+    spark = df.sparkSession
+    row = spark.createDataFrame(
+        [([[float(x) for x in r] for r in mat],)],
+        f"{name} array<array<double>>")
+    return df.crossJoin(F.broadcast(row))
+
+
+# --------------------------------------------------------------------------
+# scale-aware blocking defaults (r2 verdict: fixed nbits=8 / nlist=8 are
+# correct at test SF but quadratic at corpus scale — the block count must
+# grow with n so the per-block candidate set stays ~constant)
+# --------------------------------------------------------------------------
+
+def auto_nbits(n: int, target_bucket: int = 128,
+               lo: int = 6, hi: int = 30) -> int:
+    """Hyperplane count so the EXPECTED bucket holds ~target_bucket rows:
+    nbits = ceil(log2(n / target_bucket)).  Verification cost is then
+    O(n * target_bucket) — linear in the corpus — instead of O(n^2/2^k)
+    with a fixed k."""
+    return max(lo, min(hi, math.ceil(math.log2(max(n, 1)
+                                               / max(target_bucket, 1) or 1))))
+
+
+def auto_nlist(n: int, target_list: int = 256, lo: int = 8) -> int:
+    """Inverted-list count so the average list holds ~target_list rows;
+    in-list verification is then O(n * target_list) — linear."""
+    return max(lo, -(-max(n, 1) // max(target_list, 1)))
 
 
 def brute_force_topk(
     corpus: DataFrame, queries: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of corpus rows per query row (self-matches
-    excluded).  Ties break by corpus id ascending for determinism."""
+    excluded).  Ties break by corpus id ascending for determinism.
+    All-pairs BY DESIGN — the exact baseline the approximate paths are
+    measured against; use lsh_topk / ivf_topk at corpus scale."""
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("q_vec"))
+                       F.col(vec_col).alias("q_vec"),
+                       norm(F.col(vec_col), dim).alias("q_n"))
     c = corpus.select(F.col(id_col).alias("corpus_id"),
-                      F.col(vec_col).alias("c_vec"))
+                      F.col(vec_col).alias("c_vec"),
+                      norm(F.col(vec_col), dim).alias("c_n"))
     scored = (
         c.join(F.broadcast(q), F.col("corpus_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"),
-                                             F.col("c_vec")), 6))
+        .withColumn("cosine", F.round(
+            cosine(F.col("q_vec"), F.col("c_vec"), dim,
+                   na=F.col("q_n"), nb=F.col("c_n")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id"))
@@ -61,7 +142,9 @@ def hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_bucket(vec_col, planes: list[list[float]]):
-    """Sign-bit bucket key from random hyperplanes."""
+    """Sign-bit bucket key from LITERAL hyperplanes (interpreted HOF dot;
+    kept for unknown-dim API compatibility).  Hot paths use
+    lsh_bucket_col over an attach_model column instead."""
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in p])
@@ -69,6 +152,39 @@ def lsh_bucket(vec_col, planes: list[list[float]]):
                      F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
         bucket = bucket.bitwiseOR(bit)
     return bucket
+
+
+def lsh_bucket_col(vec_col, pmat_col, nbits: int, dim: int):
+    """Sign-bit bucket key from a model-matrix COLUMN (attach_model):
+    bit-identical to the literal-plane fold (float element promoted to
+    double, double products, left-assoc double sum).
+
+    Compact fold form on purpose — bucket keys are computed once per ROW,
+    and an unrolled nbits x dim tree risks Janino's 64 KB method limit
+    (see nearest_lists_col); the unrolled dot is reserved for the
+    O(n^2) pair path."""
+    signs = F.transform(
+        pmat_col,
+        lambda p: F.when(dot(vec_col, p) > 0,
+                         F.lit(1).cast("long")).otherwise(
+                             F.lit(0).cast("long")))
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(nbits)])
+    return F.aggregate(F.zip_with(signs, weights, lambda s, w: s * w),
+                       F.lit(0).cast("long"),
+                       lambda acc, b: acc.bitwiseOR(b))
+
+
+def with_lsh_bucket(
+    df: DataFrame, planes: list[list[float]], dim: int,
+    vec_col: str = "embedding", out: str = "bucket",
+) -> DataFrame:
+    """df + sign-bit bucket column; planes ride as broadcast data."""
+    return (
+        attach_model(df, planes, "_pmat")
+        .withColumn(out, lsh_bucket_col(F.col(vec_col), F.col("_pmat"),
+                                        len(planes), dim))
+        .drop("_pmat")
+    )
 
 
 def lsh_topk(
@@ -80,17 +196,19 @@ def lsh_topk(
     re-rank inside the bucket.  Recall grows with fewer bits / multi-probe;
     nbits trades bucket size against recall."""
     planes = hyperplanes(dim, nbits, seed)
-    c = corpus.select(
+    base = with_lsh_bucket(corpus, planes, dim, vec_col=vec_col)
+    c = base.select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"))
-    q = queries.select(
+        norm(F.col(vec_col), dim).alias("c_n"), "bucket")
+    q = with_lsh_bucket(queries, planes, dim, vec_col=vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"))
+        norm(F.col(vec_col), dim).alias("q_n"), "bucket")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("corpus_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"),
-                                             F.col("c_vec")), 6))
+        .withColumn("cosine", F.round(
+            cosine(F.col("q_vec"), F.col("c_vec"), dim,
+                   na=F.col("q_n"), nb=F.col("c_n")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id"))
@@ -101,23 +219,52 @@ def lsh_topk(
     )
 
 
-def _l2sq(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                       F.lit(0.0), lambda acc, v: acc + v)
+def _l2sq(a, b, dim: int | None = None):
+    """Squared L2 in the zip_with fold arithmetic: element difference at
+    the promoted dtype (float vec - double centroid = double), squared,
+    left-assoc double sum.  Unrolled codegen when dim is known."""
+    if dim is None:
+        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, v: acc + v)
+    acc = ((a[0] - b[0]) * (a[0] - b[0])).cast("double")
+    for i in range(1, dim):
+        acc = acc + ((a[i] - b[i]) * (a[i] - b[i])).cast("double")
+    return acc
 
 
-def _nearest_lists(vec_col, centroids: list[list[float]], nprobe: int):
-    """Array of the `nprobe` nearest centroid indices (squared-L2,
-    ties break toward the lower index) — pure column algebra."""
-    entries = [
-        F.struct(
-            _l2sq(vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
-            F.lit(i).alias("i"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    ranked = F.array_sort(F.array(*entries))
+def nearest_lists_col(vec_col, cmat_col, nlist: int, dim: int, nprobe: int):
+    """Array of the `nprobe` nearest centroid indices (squared-L2, ties
+    break toward the lower index) against a centroid-matrix COLUMN —
+    map-only, compile-once, same array_sort((d, i)) tie-break as the
+    driver-side oracle twin (oracle_docs._nearest_lists_py).
+
+    Deliberately the COMPACT fold form, not the unrolled dot: this path
+    evaluates nlist distances per ROW (row-linear), and an unrolled
+    nlist x dim expression tree (8 x 64 x 3 ops) blows Janino's 64 KB
+    method limit — whole-stage codegen then falls back to INTERPRETED
+    eval of the giant tree, measured 77 s vs ~5 s on ann_ivf_topk at
+    sf0.01.  The fold keeps the generated method small; the O(n^2)
+    pair-cosine path is where the unrolled dot pays (see `dot`)."""
+    entries = F.transform(
+        cmat_col,
+        lambda c, i: F.struct(_l2sq(vec_col, c).alias("d"),
+                              i.cast("int").alias("i")))
+    ranked = F.array_sort(entries)
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["i"])
+
+
+def with_nearest_lists(
+    df: DataFrame, cents: list[list[float]], dim: int, nprobe: int,
+    vec_col: str = "embedding", out: str = "lists",
+) -> DataFrame:
+    """df + array of nprobe nearest centroid indices; the centroid matrix
+    rides as broadcast data (compile-once across queries and models)."""
+    return (
+        attach_model(df, cents, "_cmat")
+        .withColumn(out, nearest_lists_col(F.col(vec_col), F.col("_cmat"),
+                                           len(cents), dim, nprobe))
+        .drop("_cmat")
+    )
 
 
 # fixed-point scale for the centroid update: per-element floor(x * SCALE)
@@ -135,49 +282,32 @@ def ivf_train_centroids(
     """Deterministic IVF coarse quantizer: seed centroids are the `nlist`
     corpus vectors with the smallest xxhash64(id) (a seeded sample that
     needs no Date/Random), refined with `iters` Lloyd rounds — assignment
-    is a map-only pass against broadcast literal centroids, the update is
-    one partial-aggregated groupBy over EXACT scaled-integer sums, so the
-    trained model is bit-identical under any partitioning (a float avg()
-    would depend on partial-aggregation order; this is what lets the
-    approximate probe path carry a full-value driver-side oracle twin).
-    The returned model is nlist×dim floats (driver-sized by construction);
-    at 100 TB you train on exactly this plan over a sampled corpus and
-    only the tiny model ever leaves the executors.
+    is a map-only pass against the broadcast centroid matrix, the update
+    is one partial-aggregated groupBy over EXACT scaled-integer sums, so
+    the trained model is bit-identical under any partitioning (a float
+    avg() would depend on partial-aggregation order; this is what lets
+    the approximate probe path carry a full-value driver-side oracle
+    twin).  The returned model is nlist×dim floats (driver-sized by
+    construction); at 100 TB you train on exactly this plan over a
+    sampled corpus and only the tiny model ever leaves the executors.
 
-    The Lloyd assignment rides the centroids as broadcast DATA (a tiny
-    nlist-row DataFrame cross join), not as literals baked into the
-    expression tree: literal centroids change every iteration, so Janino
-    recompiled the giant nlist×dim codegen method per round — measured
-    ~8 s/round compile vs ~2 s execute at nlist=8, dim=64.  With
-    centroids as data the generated code is centroid-independent and
-    compiles once per session across all iterations AND all IVF queries.
-    min(struct(d, list_id)) keeps the exact lower-index tie-break and the
-    same per-pair fold arithmetic as _nearest_lists, so the trained model
-    (and its Python oracle twin) is unchanged."""
+    Assignment uses the same with_nearest_lists matrix-column path as the
+    probe side: the generated code is centroid-independent (indices are
+    the only literals), so Janino compiles it once per session across all
+    Lloyd rounds AND all IVF queries — r1 measured ~8 s/round recompile
+    with literal centroids; the unrolled matrix-column distance keeps the
+    exact (d, i) tie-break and per-element fold arithmetic, so the
+    trained model (and its Python oracle twin) is unchanged."""
     base = corpus.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("v"))
-    spark = corpus.sparkSession
     seed_rows = (
         base.withColumn("h", F.xxhash64(F.col("id").cast("string")))
         .orderBy("h", "id").limit(nlist).select("v").collect()
     )
     cents = [[float(x) for x in r.v] for r in seed_rows]
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)],
-            "list_id int, cvec array<double>")
-        dist = F.aggregate(
-            F.zip_with(F.col("v"), F.col("cvec"),
-                       lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0), lambda acc, t: acc + t)
-        assigned = (
-            base.crossJoin(F.broadcast(cdf))
-            .withColumn("d", dist)
-            .groupBy("id")
-            .agg(F.min(F.struct(F.col("d"), F.col("list_id"))).alias("m"),
-                 F.first("v").alias("v"))
-            .select(F.col("m.list_id").alias("list_id"), "v")
-        )
+        assigned = with_nearest_lists(base, cents, dim, 1, vec_col="v") \
+            .select(F.col("lists")[0].alias("list_id"), "v")
         sums = (
             assigned.groupBy("list_id")
             .agg(F.count(F.lit(1)).alias("n"),
@@ -198,7 +328,7 @@ def ivf_train_centroids(
 
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-    nlist: int = 8, nprobe: int = 2, iters: int = 2,
+    nlist: int | None = 8, nprobe: int = 2, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
     decimals: int = 6,
 ) -> DataFrame:
@@ -207,21 +337,27 @@ def ivf_topk(
     cosine re-ranks only inside them.  Candidate generation is an equi-join
     on list_id — never all-pairs — so the probe cost scales with
     nprobe/nlist of the corpus.  nprobe == nlist degrades gracefully to the
-    exact brute-force result (the pytest invariant)."""
+    exact brute-force result (the pytest invariant).  nlist=None sizes the
+    list count from the corpus (auto_nlist) so in-list cost stays linear."""
+    if nlist is None:
+        nlist = auto_nlist(corpus.count())
     cents = ivf_train_centroids(corpus, nlist, dim, iters=iters,
                                 id_col=id_col, vec_col=vec_col)
-    c = corpus.select(
+    c = with_nearest_lists(corpus, cents, dim, 1, vec_col=vec_col).select(
         F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"),
-        _nearest_lists(F.col(vec_col), cents, 1)[0].alias("list_id"))
-    q = queries.select(
+        norm(F.col(vec_col), dim).alias("c_n"),
+        F.col("lists")[0].alias("list_id"))
+    q = with_nearest_lists(queries, cents, dim, nprobe,
+                           vec_col=vec_col).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        F.explode(_nearest_lists(F.col(vec_col), cents, nprobe))
-        .alias("list_id"))
+        norm(F.col(vec_col), dim).alias("q_n"),
+        F.explode("lists").alias("list_id"))
     scored = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("corpus_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"),
-                                             F.col("c_vec")), decimals))
+        .withColumn("cosine", F.round(
+            cosine(F.col("q_vec"), F.col("c_vec"), dim,
+                   na=F.col("q_n"), nb=F.col("c_n")), decimals))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("corpus_id"))
@@ -234,24 +370,35 @@ def ivf_topk(
 
 def embedding_cosine_dup_pairs(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
-    nbits: int = 8, seed: int = 42,
+    nbits: int | None = 8, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold) via LSH bucket
-    self-join + exact verification."""
+    self-join + exact verification.  nbits=None sizes the bucket count
+    from the corpus (auto_nbits: 2^nbits ≈ n/target) so the per-bucket
+    candidate set — and with it total verify cost — stays ~linear in n
+    instead of O(n^2/2^k) with a fixed k."""
+    if nbits is None:
+        nbits = auto_nbits(df.count())
     planes = hyperplanes(dim, nbits, seed)
     from .dedup import _pin
-    # both self-join sides read this — pin so the nbits dot-products per
-    # row run once (see dedup._pin)
-    b = _pin(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                       lsh_bucket(F.col(vec_col), planes).alias("bucket")))
-    left = b.select("bucket", F.col("id").alias("a"), F.col("v").alias("va"))
-    right = b.select("bucket", F.col("id").alias("b"), F.col("v").alias("vb"))
+    # both self-join sides read this — pin so the nbits dot-products and
+    # the row norm run once per row (see dedup._pin)
+    b = _pin(
+        with_lsh_bucket(df, planes, dim, vec_col=vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                norm(F.col(vec_col), dim).alias("nv"), "bucket"))
+    left = b.select("bucket", F.col("id").alias("a"),
+                    F.col("v").alias("va"), F.col("nv").alias("na"))
+    right = b.select("bucket", F.col("id").alias("b"),
+                     F.col("v").alias("vb"), F.col("nv").alias("nb"))
     return (
         left.join(right, "bucket")
         .filter(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", F.round(
+            cosine(F.col("va"), F.col("vb"), dim,
+                   na=F.col("na"), nb=F.col("nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
@@ -259,7 +406,7 @@ def embedding_cosine_dup_pairs(
 
 def ivf_dup_pairs(
     df: DataFrame, threshold: float = 0.45, dim: int = 64,
-    nlist: int = 8, iters: int = 2,
+    nlist: int | None = 8, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
     decimals: int = 4,
 ) -> DataFrame:
@@ -273,24 +420,30 @@ def ivf_dup_pairs(
     oblivious; IVF lists adapt to the corpus density, so recall per
     candidate is higher when duplicates cluster semantically.  At 100 TB
     the quantizer trains on a sample (driver holds only nlist×dim
-    floats) and the self-join shuffles once on list_id; a hot list is
-    AQE-splittable."""
+    floats), nlist=None sizes the list count from the corpus (auto_nlist)
+    so in-list verification stays ~linear, and the self-join shuffles
+    once on list_id; a hot list is AQE-splittable."""
+    if nlist is None:
+        nlist = auto_nlist(df.count())
     cents = ivf_train_centroids(df, nlist, dim, iters=iters,
                                 id_col=id_col, vec_col=vec_col)
     from .dedup import _pin
     # both self-join sides read the assignment — pin so the nlist
-    # distance evaluations per row run once
-    b = _pin(df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        _nearest_lists(F.col(vec_col), cents, 1)[0].alias("list_id")))
+    # distance evaluations and the row norm run once per row
+    b = _pin(
+        with_nearest_lists(df, cents, dim, 1, vec_col=vec_col)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                norm(F.col(vec_col), dim).alias("nv"),
+                F.col("lists")[0].alias("list_id")))
     left = b.select("list_id", F.col("id").alias("a"),
-                    F.col("v").alias("va"))
+                    F.col("v").alias("va"), F.col("nv").alias("na"))
     right = b.select("list_id", F.col("id").alias("b"),
-                     F.col("v").alias("vb"))
+                     F.col("v").alias("vb"), F.col("nv").alias("nb"))
     return (
         left.join(right, "list_id")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos_raw", cosine(F.col("va"), F.col("vb"), dim,
+                                      na=F.col("na"), nb=F.col("nb")))
         .filter(F.col("cos_raw") >= threshold)
         .select("a", "b", F.round("cos_raw", decimals).alias("cosine"))
     )

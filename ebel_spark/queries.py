@@ -1682,16 +1682,21 @@ SELECT query_id, corpus_id, cosine, rnk FROM (
 def ann_brute_topk(spark, sf_dir):
     e = _tw(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") < 8)
-    res = X.brute_force_topk(e, qdf, k=3)
-    # round BEFORE ranking on both sides so near-tie ordering agrees
+    res = X.brute_force_topk(e, qdf, k=3, dim=64)
+    # round BEFORE ranking on both sides so near-tie ordering agrees;
+    # norms precomputed per row (n, not n^2), dot unrolled to codegen
     scored = (
         e.select(F.col("vec_id").alias("corpus_id"),
-                 F.col("embedding").alias("c_vec"))
-        .join(F.broadcast(qdf.select(F.col("vec_id").alias("query_id"),
-                                     F.col("embedding").alias("q_vec"))),
+                 F.col("embedding").alias("c_vec"),
+                 X.norm(F.col("embedding"), 64).alias("c_n"))
+        .join(F.broadcast(qdf.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            X.norm(F.col("embedding"), 64).alias("q_n"))),
               F.col("corpus_id") != F.col("query_id"))
         .withColumn("cosine",
-                    F.round(X.cosine(F.col("q_vec"), F.col("c_vec")), 4))
+                    F.round(X.cosine(F.col("q_vec"), F.col("c_vec"), 64,
+                                     na=F.col("q_n"), nb=F.col("c_n")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("corpus_id"))
@@ -1711,11 +1716,14 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 """)
 def embedding_dup_pairs_exact(spark, sf_dir):
     e = _tw(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+                 X.norm(F.col("embedding"), 64).alias("na"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+                 X.norm(F.col("embedding"), 64).alias("nb"))
     return (
         a.join(b, F.col("a") < F.col("b"))
-        .withColumn("cos_raw", X.cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos_raw", X.cosine(F.col("va"), F.col("vb"), 64,
+                                        na=F.col("na"), nb=F.col("nb")))
         .filter(F.col("cos_raw") >= 0.45)
         .select("a", "b", F.round("cos_raw", 4).alias("cosine"))
     )
@@ -1747,22 +1755,26 @@ def ann_lsh_topk(spark, sf_dir):
     driver-side (exact Spark-fold double arithmetic) and re-runs the
     bucket join + ranking in SQL, so the approximate path itself is
     value-checked — not just its recall vs brute force."""
-    from .ops.vectors import hyperplanes, lsh_bucket
+    from .ops.vectors import hyperplanes
     e = _tw(spark, sf_dir, "embeddings")
     planes = hyperplanes(64, 8, seed=42)
-    b = e.select("vec_id", "embedding",
-                 lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+    b = X.with_lsh_bucket(e, planes, 64).select(
+        "vec_id", "embedding", "bucket",
+        X.norm(F.col("embedding"), 64).alias("nv"))
     q_side = (b.filter(F.col("vec_id") < 8)
               .select(F.col("vec_id").alias("query_id"),
-                      F.col("embedding").alias("q_vec"), "bucket"))
+                      F.col("embedding").alias("q_vec"),
+                      F.col("nv").alias("q_n"), "bucket"))
     scored = (
         b.select(F.col("vec_id").alias("corpus_id"),
-                 F.col("embedding").alias("c_vec"), "bucket")
+                 F.col("embedding").alias("c_vec"),
+                 F.col("nv").alias("c_n"), "bucket")
         .join(F.broadcast(q_side), "bucket")
         .filter(F.col("corpus_id") != F.col("query_id"))
         # round BEFORE ranking (both sides) so near-tie ordering agrees
         .withColumn("cosine",
-                    F.round(X.cosine(F.col("q_vec"), F.col("c_vec")), 4))
+                    F.round(X.cosine(F.col("q_vec"), F.col("c_vec"), 64,
+                                     na=F.col("q_n"), nb=F.col("c_n")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("corpus_id"))
@@ -1877,20 +1889,23 @@ def embedding_dup_pairs_lsh(spark, sf_dir):
     embedding_dup_pairs_exact).  The oracle rebuilds the bucket keys
     driver-side and re-runs the bucket self-join + cosine filter in SQL —
     a full-value check of the approximate candidate generation."""
-    from .ops.vectors import hyperplanes, lsh_bucket
+    from .ops.vectors import hyperplanes
     e = _tw(spark, sf_dir, "embeddings")
     planes = hyperplanes(64, 6, seed=42)
-    b = e.select(F.col("vec_id").alias("id"),
-                 F.col("embedding").alias("v"),
-                 lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+    b = X.with_lsh_bucket(e, planes, 64).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+        X.norm(F.col("embedding"), 64).alias("nv"), "bucket")
     from .ops.dedup import _pin
     b = _pin(b)
-    left = b.select("bucket", F.col("id").alias("a"), F.col("v").alias("va"))
-    right = b.select("bucket", F.col("id").alias("b"), F.col("v").alias("vb"))
+    left = b.select("bucket", F.col("id").alias("a"),
+                    F.col("v").alias("va"), F.col("nv").alias("na"))
+    right = b.select("bucket", F.col("id").alias("b"),
+                     F.col("v").alias("vb"), F.col("nv").alias("nb"))
     return (
         left.join(right, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_raw", X.cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos_raw", X.cosine(F.col("va"), F.col("vb"), 64,
+                                        na=F.col("na"), nb=F.col("nb")))
         .filter(F.col("cos_raw") >= 0.45)
         .select("a", "b", F.round("cos_raw", 4).alias("cosine"))
     )
