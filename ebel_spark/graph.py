@@ -1052,8 +1052,9 @@ def path_query(
             e1 = e1.filter(F.col("sc").isin(
                 expand_node_class(start["node_class"])))
 
-    # inside constraint applied to the OBJECT of a non-final hop
-    def _inside(df: DataFrame) -> DataFrame:
+    # inside constraint applied to the OBJECT of a non-final hop (column
+    # `o` on the pre-hop edge frame, `_ho` mid-DAG)
+    def _inside(df: DataFrame, obj_col: str = "o") -> DataFrame:
         if inside_node_class:
             df = df.filter(F.col("oc").isin(
                 expand_node_class(inside_node_class)))
@@ -1062,7 +1063,7 @@ def path_query(
                 raise ValueError("gene_path needs the nodes dimension")
             genic = (nodes.filter(F.size("involved_genes") > 0)
                      .select("bel").distinct())
-            df = df.join(F.broadcast(genic), df["o"] == F.col("bel"),
+            df = df.join(F.broadcast(genic), df[obj_col] == F.col("bel"),
                          "left_semi")
         return df
 
@@ -1094,7 +1095,8 @@ def path_query(
                            F.col("oc"),
                            F.col("eid").alias(f"e{h}"))
             cur = cur.join(nxt, cur[f"n{h}"] == nxt["_hs"])
-            cur = _end(cur, "n1", "_ho") if h == k else _inside(cur)
+            cur = _end(cur, "n1", "_ho") if h == k \
+                else _inside(cur, obj_col="_ho")
             cur = cur.withColumnRenamed("_ho", f"n{h + 1}") \
                      .drop("_hs", "oc")
         sel = [F.lit(k).alias("path_len")]

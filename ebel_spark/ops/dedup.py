@@ -188,28 +188,68 @@ def _hamming64(a, b):
 
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    length_banded: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance <= max_hamming.
-    Candidate blocking: 4 chunks of 16 bits — any pair within hamming 3
-    shares at least one identical chunk (pigeonhole)."""
+
+    Candidate blocking (composite key, the r2 scale fix):
+
+    * pigeonhole chunks — the 64-bit SimHash splits into
+      ``max_hamming + 1`` chunks, so any pair within the hamming budget
+      shares at least one identical chunk.  The chunk width is
+      ``64 // (max_hamming + 1)``: a LOWER hamming budget buys
+      exponentially MORE buckets (h=3 -> 4 x 16-bit chunks = 65k keys,
+      h=1 -> 2 x 32-bit chunks = 4.3B keys), which is the knob to turn
+      first at web scale.
+    * adjacent power-of-two length bands (``length_banded``, default on) —
+      the join key adds ``floor(log2(len + 1))`` with the LEFT side
+      exploded to bands {b-1, b, b+1}, so every pair whose bands differ
+      by <= 1 is still compared (guaranteed whenever the length ratio is
+      <= 2; near-identical hamming-<=3 docs are near-identical lengths).
+      RECALL BOUND: a pair whose lengths sit >= 2 bands apart is never
+      compared, by design — pass ``length_banded=False`` for the
+      unbanded (smaller-corpus, full-recall) key.
+
+    Scale ceiling, documented: the per-chunk key space is
+    ``2^(64 // (max_hamming+1)) * n_length_bands``; in-bucket verify cost
+    is ~ n^2 / key_space per chunk, so at corpus size n keep
+    ``n <= key_space * target_bucket``.  Past that, lower max_hamming
+    (wider chunks) — SimHash pigeonhole blocking cannot be made
+    corpus-adaptive the way MinHash bands / IVF nlist can."""
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 64:
+        raise ValueError("need 0 <= max_hamming <= 63")
+    width = 64 // n_chunks
+    band = (F.floor(F.log2(F.length(F.col(text_col)) + F.lit(1)))
+            .cast("long") if length_banded else F.lit(0).cast("long"))
     base = _pin(df.select(F.col(id_col).alias("id"),
-                          simhash64(F.col(text_col)).alias("sim")))
+                          simhash64(F.col(text_col)).alias("sim"),
+                          band.alias("band")))
+
+    def _chunk(c: int):
+        # last chunk takes the remaining high bits
+        w = width if c < n_chunks - 1 else 64 - width * (n_chunks - 1)
+        mask = -1 if w == 64 else (1 << w) - 1
+        return F.shiftright("sim", c * width).bitwiseAND(F.lit(mask))
+
     chunks = base.select(
-        "id", "sim",
+        "id", "sim", "band",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(c).alias("chunk_idx"),
-                F.shiftright("sim", c * 16).bitwiseAND(F.lit(0xFFFF))
-                .alias("chunk"),
-            ) for c in range(4)
+            F.struct(F.lit(c).alias("chunk_idx"), _chunk(c).alias("chunk"))
+            for c in range(n_chunks)
         ])).alias("c"),
-    ).select("id", "sim", "c.chunk_idx", "c.chunk")
-    left = chunks.select("chunk_idx", "chunk", F.col("id").alias("a"),
-                         F.col("sim").alias("sim_a"))
+    ).select("id", "sim", "band", "c.chunk_idx", "c.chunk")
+    offsets = [-1, 0, 1] if length_banded else [0]
+    left = chunks.select(
+        "chunk_idx", "chunk", F.col("id").alias("a"),
+        F.col("sim").alias("sim_a"),
+        F.explode(F.array(*[F.col("band") + F.lit(o) for o in offsets]))
+        .alias("band_key"))
     right = chunks.select("chunk_idx", "chunk", F.col("id").alias("b"),
-                          F.col("sim").alias("sim_b"))
+                          F.col("sim").alias("sim_b"),
+                          F.col("band").alias("band_key"))
     return (
-        left.join(right, ["chunk_idx", "chunk"])
+        left.join(right, ["chunk_idx", "chunk", "band_key"])
         .filter(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
         .withColumn("hamming", _hamming64(F.col("sim_a"), F.col("sim_b")))

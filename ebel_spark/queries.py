@@ -1644,19 +1644,23 @@ def doc_minhash_pairs(spark, sf_dir):
 
 @q("doc_simhash_pairs", """
 WITH d AS (
-  SELECT * FROM
-  read_parquet('/tmp/ebel_spark_oracle_docs_v1/simhash_docs/*.parquet')
+  SELECT s.id, s.sim,
+         CAST(floor(log2(length(doc.text) + 1)) AS BIGINT) AS band
+  FROM read_parquet('/tmp/ebel_spark_oracle_docs_v1/simhash_docs/*.parquet')
+       s JOIN documents doc ON s.id = doc.doc_id
 )
 SELECT a, b, hamming FROM (
   SELECT l.id AS a, r.id AS b,
          CAST(bit_count(xor(l.sim, r.sim)) AS INTEGER) AS hamming
-  FROM d l JOIN d r ON l.id < r.id
+  FROM d l JOIN d r ON l.id < r.id AND abs(l.band - r.band) <= 1
 ) WHERE hamming <= 3
 """)
 def doc_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs vs a driver-side twin.  The oracle joins
-    ALL pairs on hamming <= 3, so a match also proves the Spark op's
-    pigeonhole 16-bit-chunk blocking loses no candidate pair."""
+    all pairs within ADJACENT length bands on hamming <= 3 — the
+    documented recall contract of the composite (pigeonhole-chunk x
+    length-band) blocking key — so a match proves the blocking loses no
+    in-contract candidate pair."""
     d = _tw(spark, sf_dir, "documents")
     return D.simhash_pairs(d, "doc_id", "text", max_hamming=3)
 
@@ -2918,6 +2922,98 @@ def paths_upto_3(spark, sf_dir):
         .select("n1", "n2", "n3", F.col("p3").alias("n4"))
     p3 = h3.select(F.lit(3).alias("path_len"), "n1", "n2", "n3", "n4")
     return p1.unionByName(p2).unionByName(p3)
+
+
+# SQL IN-lists for the polymorphic class constraints, computed from the same
+# NODE_CLASS_ANCESTORS fact table path_query expands (graph.expand_node_class)
+def _class_sql(node_class: str) -> str:
+    from .graph import expand_node_class
+    return "(" + ", ".join(f"'{c}'" for c in expand_node_class(node_class)) \
+        + ")"
+
+
+@q("bel_paths", f"""
+WITH e AS (
+  SELECT edge_key AS eid, max(subject_bel) AS s, max(subject_class) AS sc,
+         max(object_bel) AS o, max(object_class) AS oc
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+    AND relation IN ('directly_increases', 'directly_decreases')
+  GROUP BY edge_key),
+ allowed AS (
+  SELECT DISTINCT bel FROM read_parquet('{_OB}/nodes_raw/*.parquet')
+  WHERE node_class IN {{PROT}} AND namespace = 'HGNC')
+SELECT 1 AS path_len, e1.s AS n1, e1.o AS n2, CAST(NULL AS VARCHAR) AS n3,
+       e1.eid AS e1, CAST(NULL AS VARCHAR) AS e2
+FROM e e1 JOIN allowed a ON e1.s = a.bel
+WHERE e1.sc IN {{PROT}} AND e1.o <> e1.s AND e1.oc IN {{BIO}}
+UNION ALL
+SELECT 2 AS path_len, e1.s, e1.o, e2.o, e1.eid, e2.eid
+FROM e e1 JOIN allowed a ON e1.s = a.bel
+     JOIN e e2 ON e2.s = e1.o
+WHERE e1.sc IN {{PROT}} AND e2.o <> e1.s AND e2.oc IN {{BIO}}
+""".replace("{PROT}", _class_sql("protein"))
+   .replace("{BIO}", _class_sql("bio_object")))
+def bel_paths(spark, sf_dir):
+    """Parametrized PathQuery (graph.path_query, the reference's
+    /root/reference/ebel/web/api/ebel/v1/bel.py:982-1144) over the REAL
+    deduplicated edges + nodes tables: start spec {class: protein,
+    namespace: HGNC} (node-dim semi-join), end spec {class: bio_object}
+    (polymorphic over the class hierarchy), relation membership on every
+    hop, last != first, lengths 1..2.  The oracle re-derives the same
+    unrolled join DAG in SQL; caps are disabled here (refuse-past-caps
+    semantics are pinned by pytest)."""
+    from . import graph as G
+    from . import parse as P
+    parsed = _bel_oracle_parsed(spark)
+    st = P.statements_table(parsed.filter("ok"))
+    edges = G.materialize_edges(st)
+    nodes = G.materialize_nodes(P.nodes_table(parsed.filter("ok")))
+    return G.path_query(
+        edges, nodes,
+        min_len=1, max_len=2,
+        start={"node_class": "protein", "namespace": "HGNC"},
+        end={"node_class": "bio_object"},
+        relations=["directly_increases", "directly_decreases"],
+        max_paths=0, max_unique_edges=None,
+    )
+
+
+@q("bel_match", f"""
+WITH e AS (
+  SELECT max(subject_bel) AS s, max(object_bel) AS o
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+    AND relation = 'increases' AND citation_pub_date >= '2015-01-01'
+  GROUP BY edge_key),
+ touched AS (SELECT s AS bel FROM e UNION SELECT o AS bel FROM e),
+ nodes AS (
+  SELECT node_class, bel, max(namespace) AS namespace, max(name) AS name
+  FROM read_parquet('{_OB}/nodes_raw/*.parquet')
+  GROUP BY node_class, bel)
+SELECT substr(sha256(node_class || '|' || bel), 1, 32) AS node_id,
+       node_class, bel, namespace, name
+FROM nodes JOIN touched USING (bel)
+WHERE node_class IN {_class_sql("protein")} AND namespace = 'HGNC'
+""")
+def bel_match(spark, sf_dir):
+    """MATCH-shaped context filter (graph.match_context, the reference's
+    odb_meta.py:1445-1474 ``match {class:X, where:(...)}.(bothE('rel')
+    {where:(...)})``) over the REAL nodes + edges tables: HGNC proteins
+    touching at least one `increases` edge published 2015+.  The oracle
+    re-derives the touched-node set and the node predicate in SQL."""
+    from . import graph as G
+    from . import parse as P
+    parsed = _bel_oracle_parsed(spark)
+    edges = G.materialize_edges(P.statements_table(parsed.filter("ok")))
+    nodes = G.materialize_nodes(P.nodes_table(parsed.filter("ok")))
+    return G.match_context(
+        nodes, edges,
+        node_class="protein",
+        node_where=F.col("namespace") == "HGNC",
+        edge_relations=["increases"],
+        edge_where=F.col("citation.pub_date") >= "2015-01-01",
+    ).select("node_id", "node_class", "bel", "namespace", "name")
 
 
 # ---------------------------------------------------------------------------

@@ -170,3 +170,153 @@ class TestNegativeSamples:
                                    buckets=8).collect()
         key = lambda r: (r.edge_id, r.neg_idx, r.neg_object_bel)
         assert sorted(map(key, got)) == sorted(map(key, again))
+
+
+def _path_edges(spark, rows):
+    """(eid, s, sc, o, oc, relation, anno_mesh, pmid) edge fixture in the
+    materialized-edges column layout path_query reads."""
+    df = spark.createDataFrame(
+        rows,
+        "edge_id string, subject_bel string, subject_class string, "
+        "object_bel string, object_class string, relation string, "
+        "mesh array<string>, pmid long")
+    return df.withColumn(
+        "annotation", F.create_map(F.lit("mesh"), F.col("mesh"))).drop("mesh")
+
+
+def _path_nodes(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "bel string, node_class string, namespace string, name string, "
+        "involved_genes array<string>, involved_other array<string>")
+
+
+class TestPathQuery:
+    """Pins the PathQuery parametrization the SQL oracle (bel_paths) does
+    not exercise: caps refusal, search modes, per-hop filters, gene_path,
+    pmid/mesh edge predicates, skip/limit keyset."""
+
+    @pytest.fixture()
+    def chain(self, spark):
+        # a -inc-> b -inc-> c -dec-> d, plus a side edge b -assoc-> x
+        return _path_edges(spark, [
+            ("e1", "a", "protein", "b", "protein", "increases",
+             ["M1"], 100),
+            ("e2", "b", "protein", "c", "rna", "increases", ["M2"], 200),
+            ("e3", "c", "rna", "d", "abundance", "decreases", ["M1"], 300),
+            ("e4", "b", "protein", "x", "pathology", "association",
+             [], 400),
+        ])
+
+    def test_lengths_and_relation_filter(self, spark, chain):
+        got = G.path_query(chain, min_len=1, max_len=3,
+                           relations=["increases", "decreases"])
+        rows = {(r.path_len, r.n1, r.n2, r.n3, r.n4)
+                for r in got.collect()}
+        assert (3, "a", "b", "c", "d") in rows
+        # e4 filtered out by the relation predicate on every hop
+        assert not any("x" in r for r in rows)
+        assert {r[0] for r in rows} == {1, 2, 3}
+
+    def test_min_len_drops_short_paths(self, spark, chain):
+        got = G.path_query(chain, min_len=2, max_len=3)
+        assert {r.path_len for r in got.collect()} == {2, 3}
+
+    def test_last_differs_from_first_only(self, spark):
+        # triangle a->b->a: length-2 path a,b,a must be dropped (last ==
+        # first) but a,b + b,a survive as length-1 paths
+        e = _path_edges(spark, [
+            ("e1", "a", "protein", "b", "protein", "increases", [], 1),
+            ("e2", "b", "protein", "a", "protein", "increases", [], 2),
+        ])
+        got = G.path_query(e, min_len=1, max_len=2)
+        assert {(r.path_len, r.n1, r.n3) for r in got.collect()} == {
+            (1, "a", None), (1, "b", None)}
+
+    def test_node_spec_modes_and_class(self, spark, chain):
+        nodes = _path_nodes(spark, [
+            ("a", "protein", "HGNC", "AKT1", ["AKT1"], []),
+            ("b", "protein", "HGNC", "TNF", ["TNF"], []),
+            ("c", "rna", "HGNC", "IL6", ["IL6"], []),
+            ("d", "abundance", "CHEBI", "water", [], ["water"]),
+        ])
+        got = G.path_query(
+            chain, nodes, min_len=2, max_len=2,
+            start={"node_class": "protein", "name": "AKT", "how_name":
+                   "starts_with"},
+            end={"node_class": "rna"})
+        assert [(r.n1, r.n3) for r in got.collect()] == [("a", "c")]
+        # contains mode on the bel string of the end node
+        got2 = G.path_query(
+            chain, nodes, min_len=1, max_len=1,
+            end={"bel": "", "how_bel": "contains", "node_class":
+                 "pathology"})
+        assert [(r.n1, r.n2) for r in got2.collect()] == [("b", "x")]
+
+    def test_gene_path_and_inside_class(self, spark, chain):
+        nodes = _path_nodes(spark, [
+            ("a", "protein", "HGNC", "AKT1", ["AKT1"], []),
+            ("b", "protein", "HGNC", "TNF", ["TNF"], []),
+            ("c", "rna", "HGNC", "IL6", ["IL6"], []),
+            ("d", "abundance", "CHEBI", "water", [], ["water"]),
+        ])
+        # inside node of a,b,c,d length-3 paths are b and c: both genic,
+        # so gene_path keeps the path; inside_node_class=rna drops the
+        # b-inside branch at hop boundary 2
+        full = G.path_query(chain, nodes, min_len=3, max_len=3,
+                            gene_path=True)
+        assert [(r.n1, r.n4) for r in full.collect()] == [("a", "d")]
+        only_rna_inside = G.path_query(chain, nodes, min_len=3, max_len=3,
+                                       inside_node_class="rna")
+        assert only_rna_inside.count() == 0  # b (protein) is an inside node
+
+    def test_edge_pmid_and_mesh_filters(self, spark, chain):
+        got = G.path_query(chain, min_len=1, max_len=1,
+                           anno_terms=["M1"], pmids=[100, 300])
+        assert {r.e1 for r in got.collect()} == {"e1", "e3"}
+
+    def test_caps_refuse(self, spark, chain):
+        with pytest.raises(G.PathExplosionError):
+            G.path_query(chain, min_len=1, max_len=1, max_paths=2)
+        with pytest.raises(G.PathExplosionError):
+            G.path_query(chain, min_len=1, max_len=3,
+                         max_unique_edges=2)
+
+    def test_skip_limit_keyset(self, spark, chain):
+        base = G.path_query(chain, min_len=1, max_len=2)
+        all_rows = sorted(
+            tuple(r) for r in base.collect())
+        page = G.path_query(chain, min_len=1, max_len=2, skip=1, limit=2)
+        assert sorted(tuple(r) for r in page.collect()) == all_rows[1:3]
+
+
+class TestMatchContext:
+    def test_class_where_and_edge_predicates(self, spark):
+        nodes = _path_nodes(spark, [
+            ("a", "protein", "HGNC", "AKT1", [], []),
+            ("b", "protein", "MGI", "Tnf", [], []),
+            ("c", "rna", "HGNC", "IL6", [], []),
+            ("z", "protein", "HGNC", "ZZZ", [], []),  # untouched
+        ])
+        edges = _path_edges(spark, [
+            ("e1", "a", "protein", "b", "protein", "increases", [], 100),
+            ("e2", "c", "rna", "a", "protein", "decreases", [], 200),
+        ])
+        got = G.match_context(
+            nodes, edges, node_class="protein",
+            node_where=F.col("namespace") == "HGNC",
+            edge_relations=["increases"])
+        assert [r.bel for r in got.collect()] == ["a"]
+
+    def test_direction(self, spark):
+        nodes = _path_nodes(spark, [
+            ("a", "protein", "HGNC", "A", [], []),
+            ("b", "protein", "HGNC", "B", [], []),
+        ])
+        edges = _path_edges(spark, [
+            ("e1", "a", "protein", "b", "protein", "increases", [], 1),
+        ])
+        outs = G.match_context(nodes, edges, direction="out")
+        ins = G.match_context(nodes, edges, direction="in")
+        assert [r.bel for r in outs.collect()] == ["a"]
+        assert [r.bel for r in ins.collect()] == ["b"]

@@ -251,6 +251,99 @@ class TestDedup:
         assert (0, 1) in pairs            # near-dup within 3 bits
         assert (0, 3) not in pairs        # unrelated
 
+    def test_simhash_length_band_recall_contract(self, spark):
+        # two docs with IDENTICAL simhash but a >2x length gap: the
+        # banded (default) blocking never compares them — the documented
+        # recall bound — while length_banded=False still finds the pair.
+        word = "alpha "
+        df = spark.createDataFrame(
+            [(0, word * 50), (1, word * 500)], ["doc_id", "text"])
+        banded = D.simhash_pairs(df, "doc_id", "text").collect()
+        assert banded == []
+        full = D.simhash_pairs(df, "doc_id", "text",
+                               length_banded=False).collect()
+        assert [(r.a, r.b, r.hamming) for r in full] == [(0, 1, 0)]
+
+    def test_simhash_adjacent_band_pair_kept(self, spark):
+        # near-identical docs land in the same or adjacent band: kept
+        base = " ".join(f"token{i} word{i % 7} filler" for i in range(80))
+        near = base + " tail"
+        df = spark.createDataFrame([(0, base), (1, near)],
+                                   ["doc_id", "text"])
+        got = D.simhash_pairs(df, "doc_id", "text").collect()
+        assert [(r.a, r.b) for r in got] == [(0, 1)]
+
+    def test_simhash_hamming1_wide_chunks(self, spark):
+        # max_hamming=1 -> 2 x 32-bit pigeonhole chunks (4.3B keys, the
+        # web-scale layout): hamming-0/1 pairs still found, hamming-2+
+        # dropped by the tighter budget
+        base = " ".join(f"token{i} word{i % 7} filler" for i in range(80))
+        near = base.replace("token40", "changed")
+        df = spark.createDataFrame(
+            [(0, base), (1, near), (2, base)], ["doc_id", "text"])
+        h3 = {(r.a, r.b): r.hamming for r in D.simhash_pairs(
+            df, "doc_id", "text", max_hamming=3).collect()}
+        h1 = {(r.a, r.b): r.hamming for r in D.simhash_pairs(
+            df, "doc_id", "text", max_hamming=1).collect()}
+        assert h1[(0, 2)] == 0
+        expect_01 = (0, 1) in h3 and h3[(0, 1)] <= 1
+        assert ((0, 1) in h1) == expect_01
+        assert all(v <= 1 for v in h1.values())
+
+
+class TestBlockingLinearity:
+    """VERDICT r2 item 5: with corpus-sized blocking (auto_nbits /
+    auto_nlist) the CANDIDATE-set size must grow ~linearly in n, not
+    quadratically as with a fixed block count."""
+
+    @staticmethod
+    def _rand_vecs(spark, n, dim=8, seed=3):
+        rng = np.random.RandomState(seed)
+        mat = rng.randn(n, dim).astype("float32")
+        return spark.createDataFrame(
+            [(i, [float(x) for x in mat[i]]) for i in range(n)],
+            ["vec_id", "embedding"])
+
+    @staticmethod
+    def _pair_count(bucketed, key):
+        from pyspark.sql import functions as F
+        return (bucketed.groupBy(key).count()
+                .select(F.sum(F.col("count") * (F.col("count") - 1) / 2)
+                        .alias("p")).collect()[0]["p"]) or 0.0
+
+    def test_lsh_candidates_scale_linearly(self, spark):
+        dim, small, big = 8, 300, 3000
+        counts = {}
+        for n in (small, big):
+            df = self._rand_vecs(spark, n, dim)
+            nbits = X.auto_nbits(n, target_bucket=8)
+            planes = X.hyperplanes(dim, nbits, seed=42)
+            b = X.with_lsh_bucket(df, planes, dim)
+            counts[n] = self._pair_count(b, "bucket")
+        growth = counts[big] / max(counts[small], 1.0)
+        # ~linear modulo ceil-quantization of nbits and sign-bit bucket
+        # skew (measured ~38x for 10x data); the fixed-nbits control
+        # below grows the full quadratic ~100x
+        assert growth < 55, counts
+        df = self._rand_vecs(spark, big, dim)
+        fixed = X.with_lsh_bucket(
+            df, X.hyperplanes(dim, X.auto_nbits(small, target_bucket=8),
+                              seed=42), dim)
+        assert counts[big] < self._pair_count(fixed, "bucket") / 2, counts
+
+    def test_ivf_candidates_scale_linearly(self, spark):
+        dim, small, big = 8, 300, 3000
+        counts = {}
+        for n in (small, big):
+            df = self._rand_vecs(spark, n, dim)
+            nlist = X.auto_nlist(n, target_list=32)
+            cents = X.ivf_train_centroids(df, nlist, dim, iters=1)
+            assigned = X.with_nearest_lists(df, cents, dim, 1) \
+                .select(F.col("lists")[0].alias("list_id"))
+            counts[n] = self._pair_count(assigned, "list_id")
+        growth = counts[big] / max(counts[small], 1.0)
+        assert growth < 30, counts
+
 
 class TestVectors:
     @pytest.fixture(scope="class")
