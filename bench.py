@@ -45,6 +45,11 @@ HEADLINE_QUERIES = [
     "doc_tfidf_topk",
     "doc_unigram_logprob",
     "semantic_dup_pairs",
+    # round-3 additions: the compile-once IVF probe path, the re-blocked
+    # SimHash, and the new parametrized PathQuery flagship
+    "ann_ivf_topk",
+    "doc_simhash_pairs",
+    "bel_paths",
 ]
 
 

@@ -405,7 +405,18 @@ def ngram_containment_pairs(
     embedded verbatim in a long one has Jaccard ≈ |A|/|B| (tiny) but
     containment ≈ 1.  Candidate generation is the same rare-shingle
     inverted index as ngram_jaccard_pairs (df-capped equi-join, never
-    all-pairs)."""
+    all-pairs).
+
+    RECALL BOUND (by design): a pair is found iff the docs share at
+    least one shingle with 1 < document-frequency <= max_df.  A quote
+    embedded in MORE than max_df documents has every shared shingle
+    hotter than the cap, so exactly those pairs are missed.  This is the
+    price of never joining a hot posting list: boilerplate shared by d
+    documents produces Θ(d^2) qualifying PAIRS — an inherently quadratic
+    output no candidate scheme can make linear — so at web scale you
+    strip boilerplate first (corpus_frequent_ngrams) or raise max_df
+    deliberately for a bounded corpus.  Pinned by
+    test_containment_recall_bound_hot_quote."""
     from ..ops.text import with_shingles
     base = _pin(
         with_shingles(df, text_col, "sh", shingle_n)

@@ -235,13 +235,22 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
 def _merge_edges(old: DataFrame, new: DataFrame) -> DataFrame:
     """Associative edge merge: document sets union, statement counts sum,
     payload first-writer-wins (the same contract as the batch two-phase
-    aggregation in graph.materialize_edges)."""
+    aggregation in graph.materialize_edges).
+
+    First-writer is enforced with a generation ordinal + min_by, not a
+    bare F.first over the union: F.first in a groupBy is
+    order-nondeterministic in Spark, so when an edge_id recurs across
+    batches with different optional citation/evidence extras the payload
+    could flip between the accumulated value and the new batch's (and
+    between foreachBatch retries).  min_by(gen) deterministically keeps
+    the earliest-committed payload."""
     payload = [c for c in old.columns
                if c not in ("edge_id", "document_ids", "n_statements")]
     return (
-        old.unionByName(new)
+        old.withColumn("_gen", F.lit(0))
+        .unionByName(new.withColumn("_gen", F.lit(1)))
         .groupBy("edge_id")
-        .agg(*[F.first(c).alias(c) for c in payload],
+        .agg(*[F.min_by(c, "_gen").alias(c) for c in payload],
              F.array_sort(F.array_distinct(
                  F.flatten(F.collect_list("document_ids"))))
              .alias("document_ids"),
@@ -253,14 +262,16 @@ def _merge_edges(old: DataFrame, new: DataFrame) -> DataFrame:
 def _merge_nodes(old: DataFrame, new: DataFrame) -> DataFrame:
     """Associative node merge: occurrence counts sum; has_modifiers is an
     OR across batches and pure = base_pure & ~has_modifiers, so max/min
-    reproduce the one-shot aggregation exactly."""
+    reproduce the one-shot aggregation exactly.  Payload first-writer-wins
+    via generation ordinal + min_by (see _merge_edges)."""
     payload = [c for c in old.columns
                if c not in ("node_id", "n_occurrences", "has_modifiers",
                             "pure")]
     return (
-        old.unionByName(new)
+        old.withColumn("_gen", F.lit(0))
+        .unionByName(new.withColumn("_gen", F.lit(1)))
         .groupBy("node_id")
-        .agg(*[F.first(c).alias(c) for c in payload],
+        .agg(*[F.min_by(c, "_gen").alias(c) for c in payload],
              F.max("has_modifiers").alias("has_modifiers"),
              F.min("pure").alias("pure"),
              F.sum("n_occurrences").alias("n_occurrences"))
@@ -305,6 +316,12 @@ def stream_graph_upsert(
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.withColumn(
             "file_sha", F.sha2(F.col("content"), 256))
+        # duplicate-content files WITHIN a batch collapse here (same
+        # convention as run_pipeline's dedup_source); the lineage
+        # anti-join below only covers duplicates ACROSS batches, so
+        # without this the accumulated counts would depend on micro-batch
+        # boundaries and break the equals-one-shot-batch invariant
+        batch_df = batch_df.dropDuplicates(["file_sha"])
         if _path_exists(spark, lineage_path):
             seen = spark.read.parquet(lineage_path)
             batch_df = batch_df.join(seen, "file_sha", "left_anti")

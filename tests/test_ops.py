@@ -251,6 +251,22 @@ class TestDedup:
         assert (0, 1) in pairs            # near-dup within 3 bits
         assert (0, 3) not in pairs        # unrelated
 
+    def test_containment_recall_bound_hot_quote(self, spark):
+        # a quote embedded verbatim in MORE than max_df docs: every
+        # shared shingle is hotter than the cap, so the pairs are missed
+        # at small max_df (the documented recall bound) and found once
+        # max_df covers the quote's document frequency
+        quote = "to be or not to be that is the question"
+        rows = [(i, f"doc {i} unique preamble words {i * 7} " + quote)
+                for i in range(6)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        capped = D.ngram_containment_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=3)
+        assert capped.count() == 0
+        uncapped = D.ngram_containment_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.5, max_df=6)
+        assert uncapped.count() == 15  # all C(6,2) quote pairs
+
     def test_simhash_length_band_recall_contract(self, spark):
         # two docs with IDENTICAL simhash but a >2x length gap: the
         # banded (default) blocking never compares them — the documented

@@ -202,13 +202,23 @@ class TestStreaming:
         src = spark.createDataFrame(pdf, SOURCE_SCHEMA)
         # several parquet files + maxFilesPerTrigger=2 -> >= 3 micro-batches
         src.repartition(6).write.mode("overwrite").parquet(src_dir)
+        # duplicate-CONTENT files: two copies of file 0 written into ONE
+        # parquet file (same micro-batch -> exercises the in-batch
+        # dropDuplicates) which also duplicates a file from the base
+        # corpus (across batches -> exercises the lineage anti-join);
+        # the upsert must collapse both so the result still equals the
+        # content-deduped one-shot batch materialize
+        dup = src.limit(1)
+        dup.unionByName(dup).coalesce(1) \
+            .write.mode("append").parquet(src_dir)
 
         q = stream_graph_upsert(spark, src_dir, out_dir, ckpt,
                                 max_files_per_trigger=2)
         q.awaitTermination(300)
 
         parsed = P.parse_sources(
-            src.withColumn("file_sha", F.sha2("content", 256))).filter("ok")
+            src.withColumn("file_sha", F.sha2("content", 256))
+            .dropDuplicates(["file_sha"])).filter("ok")
         ref_e = G.materialize_edges(P.statements_table(parsed))
         ref_n = G.materialize_nodes(P.nodes_table(parsed))
         got_e = spark.read.parquet(out_dir + "/edges")
