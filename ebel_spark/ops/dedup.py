@@ -355,6 +355,121 @@ def dup_clusters(
 
 
 # ---------------------------------------------------------------------------
+# edit-distance near-dup pairs with provable length-band blocking
+# ---------------------------------------------------------------------------
+
+def editdist_pairs(
+    df: DataFrame, id_col: str, text_col: str,
+    max_dist: int = 5, band_width: int | None = None,
+    extra_key=None,
+) -> DataFrame:
+    """All pairs with character Levenshtein distance <= max_dist.
+
+    Blocking is LOSSLESS by construction: edit distance d implies
+    ``|len(a) - len(b)| <= d`` (each edit changes length by at most 1),
+    so with band = floor(len / B) and B > max_dist every qualifying pair
+    sits in the same or adjacent band.  Each side is tagged with its own
+    band plus the next band down, turning the adjacency condition into a
+    plain equi-join — no theta-join, no BroadcastNestedLoopJoin.
+
+    Verification uses Spark's thresholded ``levenshtein(l, r, t)``
+    (early-exits the DP once the band minimum exceeds t — O(t * len) per
+    pair instead of O(len^2)).
+
+    At corpus scale a pure length band is coarse (many same-length
+    docs); ``extra_key`` (a Column, e.g. language or a MinHash band)
+    composes into the join key.  Edit-distance verify is the EXPENSIVE
+    verifier — the intended scale use is downstream of an LSH/minhash
+    candidate generator, with this operator's own banding for bounded
+    corpora or post-blocked buckets.
+
+    Mirrors the duplicate-detection intent of the reference's edge/node
+    dedup (ebel/manager/orientdb/odb_meta.py insert-if-absent) applied to
+    raw text at training-data scale.
+    """
+    B = band_width if band_width is not None else max_dist + 1
+    assert B > max_dist, "band width must exceed max_dist for recall"
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt"),
+        F.length(text_col).alias("len"),
+        (F.length(text_col) / B).cast("bigint").alias("band"))
+    if extra_key is not None:
+        base = base.withColumn("xk", extra_key)
+    # the l.id < r.id orientation filter means either side of a pair can
+    # play "left", so left must cover BOTH adjacent bands (band±1) as
+    # well as its own for the equi-join to see every |band diff| <= 1
+    # pair regardless of which doc has the smaller id
+    left = base.select(
+        "id", "txt", "len",
+        F.explode(F.array(F.col("band") - 1, F.col("band"),
+                          F.col("band") + 1)).alias("jb"),
+        *(["xk"] if extra_key is not None else []))
+    right = base.withColumnRenamed("band", "jb")
+    keys = ["jb"] + (["xk"] if extra_key is not None else [])
+    lev = F.levenshtein(F.col("l.txt"), F.col("r.txt"), max_dist)
+    return (
+        left.alias("l").join(right.alias("r"), keys)
+        .filter(F.col("l.id") < F.col("r.id"))
+        .filter(F.abs(F.col("l.len") - F.col("r.len")) <= max_dist)
+        .withColumn("dist", lev)
+        .filter(F.col("dist") >= 0)
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"), "dist")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-shingle fraction (corpus-overlap quality signal)
+# ---------------------------------------------------------------------------
+
+def dup_shingle_stats(
+    df: DataFrame, id_col: str, text_col: str,
+    shingle_n: int = 3, min_docs: int = 2,
+) -> DataFrame:
+    """Per document: how much of its text is duplicated elsewhere in the
+    corpus.  ``dup_fraction`` = fraction of the doc's DISTINCT word
+    n-gram shingles that occur in >= min_docs distinct documents — the
+    standard train-set duplication / boilerplate-contamination signal
+    (cf. dedup literature: duplicated-substring fraction per example).
+
+    Shape at 100 TB: one inverted-index shuffle (shingle -> distinct doc
+    count, map-side combined) and one shuffle back (shingle -> doc) —
+    both keyed on the shingle, the same plan as a distributed word
+    count.  Hot shingles skew the df aggregation only (a count, not a
+    join), so no quadratic bucket exists anywhere; the join back joins
+    each doc-shingle posting against a single df row.
+    """
+    base = _pin(
+        with_shingles(df, text_col, "sh", shingle_n)
+        .select(F.col(id_col).alias("id"), "sh"))
+    inv = base.select("id", F.explode("sh").alias("shingle"))
+    dfreq = (
+        inv.groupBy("shingle")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("shingle")
+    )
+    dup_counts = (
+        inv.join(dfreq, "shingle")
+        .groupBy("id").agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        base.select("id", F.size("sh").alias("n_shingles"))
+        .join(dup_counts, "id", "left")
+        .select(
+            F.col("id"),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint")
+            .alias("n_dup_shingles"),
+            F.round(
+                F.when(F.col("n_shingles") > 0,
+                       F.coalesce(F.col("n_dup"), F.lit(0))
+                       / F.col("n_shingles")).otherwise(F.lit(0.0)),
+                6).alias("dup_fraction"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard with rare-shingle blocking
 # ---------------------------------------------------------------------------
 

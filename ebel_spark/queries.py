@@ -863,6 +863,66 @@ def doc_ngram_containment_pairs(spark, sf_dir):
                                      threshold=0.8, max_df=1000)
 
 
+@q("doc_editdist_pairs", """
+SELECT a.doc_id AS a, b.doc_id AS b,
+       levenshtein(a.text, b.text) AS dist
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.text) - length(b.text)) <= 5
+WHERE levenshtein(a.text, b.text) <= 5
+""")
+def doc_editdist_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs (ops/dedup.editdist_pairs): character
+    Levenshtein <= 5 with LOSSLESS length-band blocking (dist d implies
+    |len diff| <= d, so bands of width > d plus adjacent-band join lose
+    no pair).  The oracle is the all-pairs ground truth with only the
+    implied length prefilter — a match proves the banding's recall, not
+    just the verify arithmetic."""
+    d = _tw(spark, sf_dir, "documents")
+    return D.editdist_pairs(d, "doc_id", "text", max_dist=5)
+
+
+@q("doc_dup_shingle_fraction", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) >= 3 THEN
+           list_distinct(list_transform(range(len(ts) - 2),
+             i -> array_to_string(ts[i+1:i+3], ' ')))
+         WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+         ELSE [] END AS sh
+  FROM toks
+), posting AS (
+  SELECT doc_id, unnest(sh) AS shingle FROM sh
+), dfreq AS (
+  SELECT shingle FROM posting GROUP BY shingle
+  HAVING count(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT p.doc_id, count(*) AS n_dup
+  FROM posting p JOIN dfreq USING (shingle) GROUP BY p.doc_id
+)
+SELECT s.doc_id AS id,
+       CAST(len(s.sh) AS BIGINT) AS n_shingles,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+       round(CASE WHEN len(s.sh) > 0
+             THEN coalesce(d.n_dup, 0) * 1.0 / len(s.sh)
+             ELSE 0.0 END, 6) AS dup_fraction
+FROM sh s LEFT JOIN dup d USING (doc_id)
+""")
+def doc_dup_shingle_fraction(spark, sf_dir):
+    """Per-document corpus-duplication signal: fraction of the doc's
+    distinct 3-gram shingles found in >= 2 documents
+    (ops/dedup.dup_shingle_stats) — the duplicated-text / boilerplate
+    contamination metric used to score training examples."""
+    d = _tw(spark, sf_dir, "documents")
+    return D.dup_shingle_stats(d, "doc_id", "text", shingle_n=3,
+                               min_docs=2)
+
+
 @q("doc_bpe_token_counts", """
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
@@ -1873,6 +1933,51 @@ def semantic_dup_pairs(spark, sf_dir):
     e = _tw(spark, sf_dir, "embeddings")
     return X.ivf_dup_pairs(e, threshold=0.45, dim=64, nlist=8, iters=2,
                            decimals=4)
+
+
+@q("semantic_keep", """
+WITH RECURSIVE cl AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_vecs_v1/ivf_corpus_lists/*.parquet')
+), v AS (
+  SELECT e.vec_id, e.embedding, cl.list_id
+  FROM embeddings e JOIN cl USING (vec_id)
+), pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM v l JOIN v r ON l.list_id = r.list_id AND l.vec_id < r.vec_id
+  WHERE list_cosine_similarity(l.embedding, r.embedding) >= 0.45
+), edges AS (
+  SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id
+), cc AS (
+  SELECT id, min(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT id AS vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       id = cluster_id AS keep
+FROM cc
+""")
+def semantic_keep(spark, sf_dir):
+    """SemDeDup-style prune decision: IVF-blocked cosine near-dup pairs
+    -> connected components -> keep exactly one representative (the
+    minimum id) per semantic cluster.  Output is the full keep/drop
+    assignment for every vector, the artifact a curation pipeline
+    actually consumes (semantic_dup_pairs emits the evidence pairs).
+    Same recursive-CTE oracle pattern as doc_dup_clusters, over the
+    driver-retrained quantizer's list assignments."""
+    e = _tw(spark, sf_dir, "embeddings")
+    pairs = X.ivf_dup_pairs(e, threshold=0.45, dim=64, nlist=8, iters=2,
+                            decimals=4)
+    cc = D.connected_components(pairs, nodes=e.select("vec_id"))
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(F.col("id").alias("vec_id"), "cluster_id")
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+    )
 
 
 @q("embedding_dup_pairs_lsh", """

@@ -307,6 +307,66 @@ class TestDedup:
         assert all(v <= 1 for v in h1.values())
 
 
+class TestEditDistance:
+    def test_editdist_pairs_band_recall(self, spark):
+        # pairs straddling a band boundary in BOTH id orders: the lossless
+        # claim requires recall whichever side has the smaller id
+        rows = [
+            (1, "a" * 11),   # band(len=11, B=6) = 1
+            (2, "a" * 13),   # band 2; dist(1,2)=2, bands differ by 1
+            (3, "b" * 13),   # band 2
+            (4, "b" * 11),   # band 1; dist(3,4)=2, smaller-id doc in
+                             # the HIGHER band — the r3 regression case
+            (5, "c" * 40),   # far from everything
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {(r.a, r.b): r.dist
+               for r in D.editdist_pairs(df, "doc_id", "text",
+                                         max_dist=5).collect()}
+        assert got[(1, 2)] == 2 and got[(3, 4)] == 2
+        assert (1, 4) not in got or got[(1, 4)] <= 5  # a/b all-a vs all-b
+        assert all(a < b for a, b in got)
+        assert not any(5 in p for p in got)
+
+    def test_editdist_matches_bruteforce(self, docs):
+        import itertools
+        got = {(r.a, r.b): r.dist
+               for r in D.editdist_pairs(docs, "doc_id", "text",
+                                         max_dist=10).collect()}
+        def lev(s, t):
+            prev = list(range(len(t) + 1))
+            for i, cs in enumerate(s, 1):
+                cur = [i]
+                for j, ct in enumerate(t, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (cs != ct)))
+                prev = cur
+            return prev[-1]
+        want = {}
+        for (ia, ta), (ib, tb) in itertools.combinations(DOCS, 2):
+            d = lev(ta, tb)
+            if d <= 10:
+                want[(ia, ib)] = d
+        assert got == want
+
+    def test_dup_shingle_fraction(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps high"),
+            (2, "the quick brown fox sleeps now"),
+            (3, "unrelated words entirely different things here"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.id: r for r in
+               D.dup_shingle_stats(df, "doc_id", "text",
+                                   shingle_n=3).collect()}
+        # docs 1 and 2 share exactly the shingles "the quick brown" and
+        # "quick brown fox" (2 of each doc's 4 shingles)
+        assert out[1].n_shingles == 4 and out[1].n_dup_shingles == 2
+        assert out[2].n_dup_shingles == 2
+        assert abs(out[1].dup_fraction - 0.5) < 1e-9
+        assert out[3].n_dup_shingles == 0 and out[3].dup_fraction == 0.0
+
+
 class TestBlockingLinearity:
     """VERDICT r2 item 5: with corpus-sized blocking (auto_nbits /
     auto_nlist) the CANDIDATE-set size must grow ~linearly in n, not
