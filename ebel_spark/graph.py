@@ -568,11 +568,16 @@ def pagerank(
         .transform(cut_lineage)
     )
     base = (1.0 - damping) / n
-    for _ in range(iters):
-        dangling = (
+    for it in range(iters):
+        # dangling mass rides as a broadcast 1-row aggregate INSIDE the
+        # iteration's plan (crossJoin of a scalar frame) instead of a
+        # driver-side .first() — one action per iteration (the eager
+        # lineage cut), not two.  Same IEEE op order as the scalar form:
+        # double sum, divided by n, added to the contribution, scaled by
+        # damping.
+        dang = (
             ranks.filter(F.col("odeg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang_mass"))
         )
         contrib = (
             e.join(ranks.filter(F.col("odeg").isNotNull()),
@@ -583,14 +588,20 @@ def pagerank(
         ranks = (
             ranks.drop("rank")
             .join(contrib, ranks["bel"] == contrib["v"], "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "bel", "odeg",
                 (F.lit(base) + F.lit(damping)
                  * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                    + F.lit(dangling / n))).alias("rank"),
+                    + F.col("dang_mass") / F.lit(float(n)))).alias("rank"),
             )
-            .transform(cut_lineage)
         )
+        # materialize every second round (and the last): two join+agg
+        # rounds per action keeps the plan shallow while halving the
+        # per-round scheduling/materialization overhead — same values,
+        # only the action cadence changes
+        if it % 2 == 1 or it == iters - 1:
+            ranks = cut_lineage(ranks)
     return ranks.select("bel", "rank")
 
 
@@ -690,7 +701,11 @@ def bfs_depths(
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionAll(nxt).transform(cut_lineage)
+        # visited stays a plain union of the (already checkpointed)
+        # per-level frontiers — the plan is a flat union of <= max_depth
+        # checkpoint scans, so re-cutting it each round would only add a
+        # second materialization per level for no depth reduction
+        visited = visited.unionAll(nxt)
         frontier = nxt
     return visited
 
@@ -714,7 +729,7 @@ def kcore_peel(
     with their degree in the peeled subgraph.
     """
     e = undirected_edges(edges, src, dst).transform(cut_lineage)
-    for _ in range(rounds):
+    for it in range(rounds):
         deg = (
             e.select(F.col("a").alias("n"))
             .unionAll(e.select(F.col("b").alias("n")))
@@ -725,8 +740,12 @@ def kcore_peel(
         e = (
             e.join(keep.select(F.col("n").alias("a")), "a", "left_semi")
             .join(keep.select(F.col("n").alias("b")), "b", "left_semi")
-            .transform(cut_lineage)
         )
+        # materialize every second peel (and the last): same
+        # action-cadence trade as pagerank — two agg+semi-join rounds per
+        # materialization, identical fixpoint values
+        if it % 2 == 1 or it == rounds - 1:
+            e = cut_lineage(e)
     return (
         e.select(F.col("a").alias("bel"))
         .unionAll(e.select(F.col("b").alias("bel")))
@@ -763,7 +782,7 @@ def label_propagation(
     labels = adj.select(F.col("n").alias("bel")).distinct().select(
         "bel", F.col("bel").alias("label"))
     w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
-    for _ in range(iters):
+    for it in range(iters):
         counts = (
             adj.join(labels, adj["h"] == labels["bel"])
             .groupBy("n", "label")
@@ -773,8 +792,11 @@ def label_propagation(
             counts.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select(F.col("n").alias("bel"), "label")
-            .transform(cut_lineage)
         )
+        # pagerank's action-cadence trade: two LPA rounds per
+        # materialization, identical label fixpoint
+        if it % 2 == 1 or it == iters - 1:
+            labels = cut_lineage(labels)
     return labels
 
 

@@ -275,6 +275,23 @@ def with_nearest_lists(
 IVF_SCALE = 1_000_000.0
 
 
+# trained-model memo: the quantizer is a pure function of (corpus plan,
+# params), and a contract-gate / bench session runs four IVF queries over
+# the SAME corpus — each retraining an identical model (3 Spark jobs
+# apiece).  Keyed on the ANALYZED plan's semanticHash (content identity of
+# the input query, not object identity) plus the session, so a restarted
+# session or a different input never hits a stale model.
+_IVF_MODEL_MEMO: dict = {}
+
+
+def _corpus_plan_key(df: DataFrame):
+    try:
+        return (id(df.sparkSession),
+                df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        return None
+
+
 def ivf_train_centroids(
     corpus: DataFrame, nlist: int, dim: int, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -298,6 +315,10 @@ def ivf_train_centroids(
     with literal centroids; the unrolled matrix-column distance keeps the
     exact (d, i) tie-break and per-element fold arithmetic, so the
     trained model (and its Python oracle twin) is unchanged."""
+    pk = _corpus_plan_key(corpus)
+    memo_key = (pk, nlist, dim, iters, id_col, vec_col) if pk else None
+    if memo_key and memo_key in _IVF_MODEL_MEMO:
+        return _IVF_MODEL_MEMO[memo_key]
     base = corpus.select(F.col(id_col).alias("id"),
                          F.col(vec_col).alias("v"))
     seed_rows = (
@@ -323,6 +344,8 @@ def ivf_train_centroids(
         }
         # empty lists keep their previous centroid
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    if memo_key:
+        _IVF_MODEL_MEMO[memo_key] = cents
     return cents
 
 
