@@ -1746,25 +1746,25 @@ SELECT query_id, corpus_id, cosine, rnk FROM (
 def ann_brute_topk(spark, sf_dir):
     e = _tw(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") < 8)
-    res = X.brute_force_topk(e, qdf, k=3, dim=64)
-    # round BEFORE ranking on both sides so near-tie ordering agrees;
-    # norms precomputed per row (n, not n^2), dot unrolled to codegen
+    # round BEFORE ranking on both sides so near-tie ordering agrees
+    # (X.brute_force_topk is the library API; this query inlines it to
+    # round pre-rank to the oracle's 4 decimals); norms precomputed per
+    # row (n, not n^2), dot unrolled to codegen
     scored = (
         e.select(F.col("vec_id").alias("corpus_id"),
                  F.col("embedding").alias("c_vec"),
-                 X.norm(F.col("embedding"), 64).alias("c_n"))
+                 X.norm("embedding", 64).alias("c_n"))
         .join(F.broadcast(qdf.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_vec"),
-            X.norm(F.col("embedding"), 64).alias("q_n"))),
+            X.norm("embedding", 64).alias("q_n"))),
               F.col("corpus_id") != F.col("query_id"))
         .withColumn("cosine",
-                    F.round(X.cosine(F.col("q_vec"), F.col("c_vec"), 64,
+                    F.round(X.cosine("q_vec", "c_vec", 64,
                                      na=F.col("q_n"), nb=F.col("c_n")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("corpus_id"))
-    _ = res  # exact variant kept for API users; oracle uses rounded ranking
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
@@ -1781,12 +1781,12 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 def embedding_dup_pairs_exact(spark, sf_dir):
     e = _tw(spark, sf_dir, "embeddings")
     a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
-                 X.norm(F.col("embedding"), 64).alias("na"))
+                 X.norm("embedding", 64).alias("na"))
     b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
-                 X.norm(F.col("embedding"), 64).alias("nb"))
+                 X.norm("embedding", 64).alias("nb"))
     return (
         a.join(b, F.col("a") < F.col("b"))
-        .withColumn("cos_raw", X.cosine(F.col("va"), F.col("vb"), 64,
+        .withColumn("cos_raw", X.cosine("va", "vb", 64,
                                         na=F.col("na"), nb=F.col("nb")))
         .filter(F.col("cos_raw") >= 0.45)
         .select("a", "b", F.round("cos_raw", 4).alias("cosine"))
@@ -1824,7 +1824,7 @@ def ann_lsh_topk(spark, sf_dir):
     planes = hyperplanes(64, 8, seed=42)
     b = X.with_lsh_bucket(e, planes, 64).select(
         "vec_id", "embedding", "bucket",
-        X.norm(F.col("embedding"), 64).alias("nv"))
+        X.norm("embedding", 64).alias("nv"))
     q_side = (b.filter(F.col("vec_id") < 8)
               .select(F.col("vec_id").alias("query_id"),
                       F.col("embedding").alias("q_vec"),
@@ -1837,7 +1837,7 @@ def ann_lsh_topk(spark, sf_dir):
         .filter(F.col("corpus_id") != F.col("query_id"))
         # round BEFORE ranking (both sides) so near-tie ordering agrees
         .withColumn("cosine",
-                    F.round(X.cosine(F.col("q_vec"), F.col("c_vec"), 64,
+                    F.round(X.cosine("q_vec", "c_vec", 64,
                                      na=F.col("q_n"), nb=F.col("c_n")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
@@ -2003,7 +2003,7 @@ def embedding_dup_pairs_lsh(spark, sf_dir):
     planes = hyperplanes(64, 6, seed=42)
     b = X.with_lsh_bucket(e, planes, 64).select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
-        X.norm(F.col("embedding"), 64).alias("nv"), "bucket")
+        X.norm("embedding", 64).alias("nv"), "bucket")
     from .ops.dedup import _pin
     b = _pin(b)
     left = b.select("bucket", F.col("id").alias("a"),
@@ -2013,7 +2013,7 @@ def embedding_dup_pairs_lsh(spark, sf_dir):
     return (
         left.join(right, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos_raw", X.cosine(F.col("va"), F.col("vb"), 64,
+        .withColumn("cos_raw", X.cosine("va", "vb", 64,
                                         na=F.col("na"), nb=F.col("nb")))
         .filter(F.col("cos_raw") >= 0.45)
         .select("a", "b", F.round("cos_raw", 4).alias("cosine"))
