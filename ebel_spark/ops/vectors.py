@@ -343,18 +343,31 @@ def ivf_train_centroids(
     for _ in range(iters):
         assigned = with_nearest_lists(base, cents, dim, 1, vec_col="v") \
             .select(F.col("lists")[0].alias("list_id"), "v")
+        # narrow posexplode agg instead of a 1+dim-column-wide agg: the
+        # wide form generated a fresh ~65-aggregate codegen unit per
+        # session (~3 s compile at dim=64); this shape is small and
+        # shared across iterations.  Arithmetic is unchanged — the same
+        # floor(v[i] * SCALE) longs are summed per (list, i), LONG sums
+        # are exact and order-independent, and count(*) per (list, i)
+        # equals the list size for every i.
         sums = (
-            assigned.groupBy("list_id")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 *[F.sum(F.floor(F.col("v")[i] * IVF_SCALE).cast("long"))
-                   .alias(f"s{i}") for i in range(dim)])
+            assigned
+            .select("list_id", F.posexplode(
+                F.transform(F.col("v"),
+                            lambda x: F.floor(x * IVF_SCALE)))
+                .alias("i", "s"))
+            .groupBy("list_id", "i")
+            .agg(F.sum("s").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        acc: dict[int, list] = {}
+        for r in sums:
+            a = acc.setdefault(int(r.list_id), [0] * (dim + 1))
+            a[int(r.i)] = int(r.s)
+            a[dim] = int(r.n)
         new = {
-            int(r.list_id):
-                [int(r[f"s{i}"]) / (IVF_SCALE * int(r.n))
-                 for i in range(dim)]
-            for r in sums
+            li: [a[i] / (IVF_SCALE * a[dim]) for i in range(dim)]
+            for li, a in acc.items()
         }
         # empty lists keep their previous centroid
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
