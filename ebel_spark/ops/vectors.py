@@ -418,6 +418,170 @@ def ivf_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# Product quantization (PQ): the memory-side scale path for ANN.  IVF
+# shrinks the CANDIDATE set; PQ shrinks the BYTES per candidate — at
+# 100 TB the corpus rides as m uint8 codes (m bytes/vector instead of
+# 4*dim), and scoring is an m-term lookup-table sum (ADC), never a
+# full-dimension dot against raw vectors.
+# --------------------------------------------------------------------------
+
+def pq_codes_col(vec_col, cmat_col, m: int, ksub: int, d: int):
+    """Per-row PQ code array: codes[s] = argmin_c l2sq(v[s*d:(s+1)*d],
+    centroid[s][c]) with ties toward the lower code — the same
+    struct-array_sort rule (and the same fold arithmetic) as the IVF
+    assignment, per subspace.  `cmat_col` is the FLATTENED model matrix
+    (row s*ksub+c = centroid c of subspace s) riding as broadcast data
+    (attach_model), so the generated code is model-independent."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.element_at(F.array_sort(F.transform(
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda c: F.struct(
+                _l2sq(F.slice(vec_col, s * d + 1, d),
+                      F.element_at(cmat_col, s * ksub + c + 1)).alias("d"),
+                c.cast("int").alias("i")))), 1)["i"])
+
+
+def pq_train(
+    corpus: DataFrame, dim: int, m: int = 8, ksub: int = 16,
+    iters: int = 1, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: model[s][c][j].  Seeds are the `ksub`
+    corpus vectors with the smallest xxhash64(id) (each seed row supplies
+    its slice to every subspace); `iters` Lloyd rounds refine each
+    subspace independently but in ONE distributed pass — assignment is
+    the map-only pq_codes_col, the update sums floor(x * IVF_SCALE) as
+    exact longs per (subspace, code, j), so the codebook is bit-identical
+    under any partitioning (same discipline as ivf_train_centroids, and
+    what lets the PQ query carry a full-value driver-side twin).  At
+    100 TB this trains on a bounded sample; only the m*ksub*d-float
+    codebook leaves the executors."""
+    pk = _corpus_plan_key(corpus)
+    memo_key = (("pq", pk, dim, m, ksub, iters, id_col, vec_col)
+                if pk else None)
+    if memo_key and memo_key in _IVF_MODEL_MEMO:
+        return _IVF_MODEL_MEMO[memo_key]
+    d = dim // m
+    assert m * d == dim, "dim must divide evenly into m subspaces"
+    base = corpus.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("v"))
+    seed_rows = (
+        base.withColumn("h", F.xxhash64(F.col("id").cast("string")))
+        .orderBy("h", "id").limit(ksub).select("v").collect()
+    )
+    model = [[[float(x) for x in r.v[s * d:(s + 1) * d]]
+              for r in seed_rows] for s in range(m)]
+    for _ in range(iters):
+        flat = [c for sub in model for c in sub]
+        assigned = (
+            attach_model(base, flat, "_cmat")
+            .withColumn("codes",
+                        pq_codes_col(F.col("v"), F.col("_cmat"), m, ksub, d))
+            .select("v", "codes")
+        )
+        sums = (
+            assigned
+            .select("v", F.posexplode("codes").alias("s", "code"))
+            .select("s", "code", F.posexplode(
+                F.expr(f"transform(slice(v, s * {d} + 1, {d}), "
+                       # cast the float element explicitly: a bare int
+                       # literal would multiply at FLOAT precision;
+                       # the Column form promotes float * double-lit
+                       f"x -> floor(cast(x as double) "
+                       f"* cast({int(IVF_SCALE)} as double)))"))
+                .alias("j", "x"))
+            .groupBy("s", "code", "j")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[tuple, list] = {}
+        for r in sums:
+            a = acc.setdefault((int(r.s), int(r.code)), [0] * (d + 1))
+            a[int(r.j)] = int(r.sx)
+            a[d] = int(r.n)
+        model = [
+            [[acc[(s, c)][j] / (IVF_SCALE * acc[(s, c)][d])
+              for j in range(d)] if (s, c) in acc else model[s][c]
+             for c in range(ksub)]
+            for s in range(m)
+        ]
+    if memo_key:
+        _IVF_MODEL_MEMO[memo_key] = model
+    return model
+
+
+def pq_luts_py(qvec, model, scale: float | None = None) -> list[list[int]]:
+    """Scaled-integer ADC lookup tables for one query vector:
+    lut[s][c] = floor(dot(q[s*d:(s+1)*d], model[s][c]) * SCALE) — plain
+    sequential-fold Python floats, shared verbatim by the Spark path and
+    the oracle twin so both sides build byte-identical tables.  Scoring
+    then sums m exact longs per candidate: order-independent, so the
+    distributed aggregation is deterministic."""
+    import math
+    scale = IVF_SCALE if scale is None else scale
+    m = len(model)
+    d = len(model[0][0])
+    luts = []
+    for s in range(m):
+        sub = [float(x) for x in qvec[s * d:(s + 1) * d]]
+        row = []
+        for cent in model[s]:
+            acc = 0.0
+            for x, c in zip(sub, cent):
+                acc += x * c
+            row.append(math.floor(acc * scale))
+        luts.append(row)
+    return luts
+
+
+def pq_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 3,
+    m: int = 8, ksub: int = 16, iters: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate top-k by inner product: corpus rows are scored
+    as sum_s lut[s][codes[s]] — an equi-join of the exploded code table
+    against the broadcast per-query LUT (q*m*ksub rows) plus one
+    map-side-combined LONG sum; the raw vectors never ride past the
+    encode step.  The query set is collected driver-side BY DESIGN
+    (|queries| rows, like bm25's query terms) to build the LUTs with the
+    twin-shared fold arithmetic."""
+    model = pq_train(corpus, dim, m=m, ksub=ksub, iters=iters,
+                     id_col=id_col, vec_col=vec_col)
+    d = dim // m
+    flat = [c for sub in model for c in sub]
+    codes = (
+        attach_model(corpus, flat, "_cmat")
+        .withColumn("codes", pq_codes_col(F.col(vec_col), F.col("_cmat"),
+                                          m, ksub, d))
+        .select(F.col(id_col).alias("corpus_id"),
+                F.posexplode("codes").alias("s", "code"))
+    )
+    spark = corpus.sparkSession
+    lut_rows = [
+        (int(r[id_col]), s, c, luts[s][c])
+        for r in queries.select(id_col, vec_col).collect()
+        for luts in [pq_luts_py(r[vec_col], model)]
+        for s in range(m) for c in range(ksub)
+    ]
+    lut = spark.createDataFrame(
+        lut_rows, "query_id bigint, s int, code int, slut bigint")
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("slut").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "score", "rnk")
+    )
+
+
 def embedding_cosine_dup_pairs(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     nbits: int | None = 8, seed: int = 42,

@@ -240,6 +240,64 @@ def _ivf_centroids_py(vecs: pd.DataFrame, nlist: int = IVF_NLIST,
     return cents
 
 
+# PQ twin parameters (mirror the ann_pq_topk query)
+PQ_M = 8
+PQ_KSUB = 16
+PQ_ITERS = 1
+
+
+def _pq_model_py(vecs: pd.DataFrame, dim: int = IVF_DIM, m: int = PQ_M,
+                 ksub: int = PQ_KSUB,
+                 iters: int = PQ_ITERS) -> list[list[list[float]]]:
+    """Twin of ops/vectors.pq_train: seeds are the ksub smallest-hash
+    vectors (each contributing its slice to every subspace); Lloyd
+    updates sum floor(x * IVF_SCALE) exact longs per (subspace, code, j)
+    — bit-identical to the distributed codebook."""
+    import math
+
+    from .ops.vectors import IVF_SCALE
+
+    d = dim // m
+    order = sorted(
+        (spark_xxhash64_str(str(int(vid))), int(vid), emb)
+        for vid, emb in zip(vecs["vec_id"], vecs["embedding"])
+    )
+    model = [[[float(x) for x in emb[s * d:(s + 1) * d]]
+              for _, _, emb in order[:ksub]] for s in range(m)]
+    for _ in range(iters):
+        sums: dict = {}
+        for _, _, emb in order:
+            for s in range(m):
+                sub = emb[s * d:(s + 1) * d]
+                code = min(
+                    range(ksub),
+                    key=lambda c: (_l2sq_fold(sub, model[s][c]), c))
+                a = sums.setdefault((s, code), [0] * (d + 1))
+                a[d] += 1
+                for j, x in enumerate(sub):
+                    a[j] += math.floor(float(x) * IVF_SCALE)
+        model = [
+            [[sums[(s, c)][j] / (IVF_SCALE * sums[(s, c)][d])
+              for j in range(d)] if (s, c) in sums else model[s][c]
+             for c in range(ksub)]
+            for s in range(m)
+        ]
+    return model
+
+
+def _pq_codes_py(emb, model) -> list[int]:
+    """Twin of ops/vectors.pq_codes_col: per-subspace argmin with ties
+    toward the lower code (the struct array_sort rule)."""
+    m = len(model)
+    d = len(model[0][0])
+    return [
+        min(range(len(model[s])),
+            key=lambda c: (_l2sq_fold(emb[s * d:(s + 1) * d],
+                                      model[s][c]), c))
+        for s in range(m)
+    ]
+
+
 def ensure_vecs_oracle_tables(base: str = VECS_BASE,
                               vecs_parquet: str = GATE_VECS) -> str:
     """Driver-side twin of the hyperplane-LSH bucket assignment and the
@@ -249,10 +307,11 @@ def ensure_vecs_oracle_tables(base: str = VECS_BASE,
     Spark column algebra.  SQL then re-runs the relational half — bucket
     and inverted-list equi-joins plus exact cosine re-rank — over these
     parquets."""
-    # the ivf check forces a one-time rebuild of dirs created before those
-    # tables existed (the rebuild rewrites every table, idempotent)
+    # the ivf/pq checks force a one-time rebuild of dirs created before
+    # those tables existed (the rebuild rewrites every table, idempotent)
     if (os.path.exists(os.path.join(base, _VMARKER))
-            and os.path.isdir(os.path.join(base, "ivf_corpus_lists"))):
+            and os.path.isdir(os.path.join(base, "ivf_corpus_lists"))
+            and os.path.isdir(os.path.join(base, "pq_codes"))):
         return base
 
     from .ops.vectors import hyperplanes
@@ -285,6 +344,25 @@ def ensure_vecs_oracle_tables(base: str = VECS_BASE,
         {"vec_id": "int64", "list_id": "int32"})
     tables["ivf_query_probes"] = pd.DataFrame(qp_rows).astype(
         {"vec_id": "int64", "list_id": "int32"})
+
+    from .ops.vectors import pq_luts_py
+    pq_model = _pq_model_py(vecs)
+    code_rows, lut_rows = [], []
+    for vec_id, emb in zip(vecs["vec_id"], vecs["embedding"]):
+        vec_id = int(vec_id)
+        code_rows.extend(
+            {"vec_id": vec_id, "s": s, "code": c}
+            for s, c in enumerate(_pq_codes_py(emb, pq_model)))
+        if vec_id < 8:
+            luts = pq_luts_py(emb, pq_model)
+            lut_rows.extend(
+                {"query_id": vec_id, "s": s, "code": c, "slut": luts[s][c]}
+                for s in range(PQ_M) for c in range(PQ_KSUB))
+    tables["pq_codes"] = pd.DataFrame(code_rows).astype(
+        {"vec_id": "int64", "s": "int32", "code": "int32"})
+    tables["pq_lut"] = pd.DataFrame(lut_rows).astype(
+        {"query_id": "int64", "s": "int32", "code": "int32",
+         "slut": "int64"})
 
     os.makedirs(base, exist_ok=True)
     for name, pdf in tables.items():

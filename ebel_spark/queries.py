@@ -1980,6 +1980,35 @@ def semantic_keep(spark, sf_dir):
     )
 
 
+@q("ann_pq_topk", """
+WITH sc AS (
+  SELECT l.query_id, c.vec_id AS corpus_id,
+         CAST(sum(l.slut) AS BIGINT) AS score
+  FROM read_parquet('/tmp/ebel_spark_oracle_vecs_v1/pq_codes/*.parquet') c
+  JOIN read_parquet('/tmp/ebel_spark_oracle_vecs_v1/pq_lut/*.parquet') l
+    ON l.s = c.s AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, corpus_id, score, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, corpus_id ASC) AS rnk
+  FROM sc
+) WHERE rnk <= 3
+""")
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (ops/vectors.pq_topk): the corpus rides
+    as m=8 codebook codes per vector (the bytes-side scale path — IVF
+    shrinks candidates, PQ shrinks bytes per candidate), queries score
+    candidates as an ADC lookup-table sum.  Scores are exact scaled-long
+    sums, so the distributed aggregation is order-independent and the
+    oracle — the driver-retrained codebook twin's codes and LUTs
+    re-joined in SQL — checks full values."""
+    e = _tw(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") < 8)
+    return X.pq_topk(e, qdf, dim=64, k=3, m=8, ksub=16, iters=1)
+
+
 @q("embedding_dup_pairs_lsh", """
 WITH b AS (
   SELECT * FROM

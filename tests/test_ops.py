@@ -465,6 +465,26 @@ class TestVectors:
             nlist=4, nprobe=4).collect())
         assert ivf == exact
 
+    def test_pq_topk_finds_planted_near_dup(self, vecs):
+        # a near-identical vector quantizes to (mostly) the same codes,
+        # so ADC ranks it first for most queries
+        got = X.pq_topk(vecs, vecs.filter("vec_id < 5"), dim=16, k=1,
+                        m=4, ksub=4, iters=1).collect()
+        hits = {r.query_id: r.corpus_id for r in got}
+        assert sum(1 for qid, cid in hits.items() if cid == qid + 10) >= 3
+        # deterministic across runs (exact scaled-long scores)
+        again = X.pq_topk(vecs, vecs.filter("vec_id < 5"), dim=16, k=1,
+                          m=4, ksub=4, iters=1).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    def test_pq_codebook_matches_python_twin(self, vecs):
+        from ebel_spark.oracle_docs import _pq_model_py
+        pdf = vecs.select("vec_id", "embedding").toPandas()
+        want = _pq_model_py(pdf, dim=16, m=4, ksub=4, iters=1)
+        X._IVF_MODEL_MEMO.clear()
+        got = X.pq_train(vecs, dim=16, m=4, ksub=4, iters=1)
+        assert got == want  # bit-identical, not approximately equal
+
     def test_ivf_small_probe_recall(self, vecs):
         got = X.ivf_topk(vecs, vecs.filter("vec_id < 5"), dim=16, k=1,
                          nlist=4, nprobe=1).collect()
