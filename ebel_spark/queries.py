@@ -459,6 +459,49 @@ def stream_user_sessions(spark, sf_dir):
     return spark.table(sink)
 
 
+@q("stream_minhash_hits", """
+WITH b AS (
+  SELECT id, band_idx, band_hash FROM
+  read_parquet('/tmp/ebel_spark_oracle_docs_v1/minhash_bands/*.parquet')
+), own AS (
+  SELECT band_idx, band_hash, min(id) AS first_doc_id
+  FROM b GROUP BY 1, 2
+)
+SELECT b.id AS doc_id, b.band_idx, b.band_hash, own.first_doc_id
+FROM b JOIN own USING (band_idx, band_hash)
+WHERE b.id <> own.first_doc_id
+""")
+def stream_minhash_hits(spark, sf_dir):
+    """Streaming MinHash near-dup candidate registry
+    (streaming.stream_minhash_candidates) checked against ANSI SQL: one
+    availableNow pass over documents (event time := doc_id, so the
+    in-batch (ts, id) ordering makes the bucket owner the minimum doc
+    id) must emit exactly the batch band join's later-doc hits.  The
+    oracle re-derives ownership from the driver-side xxhash64-twin band
+    table — a full-value check of the streaming band hashing AND the
+    first-writer-wins state logic."""
+    import tempfile
+    import uuid
+
+    from .streaming import stream_minhash_candidates as S
+
+    docs = _t(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.col("doc_id").cast("timestamp"))
+    )
+    hits = S(stream, k=32, bands=16, shingle_n=3, watermark="365 days")
+    sink = f"ndh_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ndh_ckpt_")
+    q = (hits.writeStream.format("memory").queryName(sink)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(sink)
+
+
 # ---------------------------------------------------------------------------
 # §2.4 range join (SNP position -> gene, odb_meta.py:1309-1363)
 # ---------------------------------------------------------------------------

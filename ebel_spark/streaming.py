@@ -158,6 +158,107 @@ def stream_dedup_documents(
     )
 
 
+def stream_minhash_candidates(
+    docs_stream: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-dup candidate generator: the streaming twin of the
+    batch `ops.dedup.minhash_lsh_pairs` band join.
+
+    Per row (stateless, row-local — no streaming groupBy aggregation, so
+    only ONE stateful operator exists in the query): the MinHash
+    signature via the Column HOF form and the `bands` band hashes,
+    byte-identical to the batch operator's (same xxhash64 permutation
+    seeds, same concat_ws band string).  Each (band_idx, band_hash)
+    bucket then runs first-writer-wins registry state
+    (`applyInPandasWithState`): within a micro-batch ties break by
+    (event time, then id); across micro-batches the earlier-ARRIVED
+    batch owns the bucket — the standard streaming registry semantics,
+    since append mode cannot retract ownership already emitted when
+    late data turns up (same trade `stream_graph_upsert` documents).
+    Every later doc inside the watermark horizon emits a hit row
+    (doc_id, band_idx, band_hash, first_doc_id).  A doc is a near-dup
+    CANDIDATE iff it emits >= 1 hit — exactly the batch LSH contract
+    (banding bounds candidates; exact verification joins text
+    downstream).  Bucket state is one (id, ts) pair, evicted once the
+    event-time watermark passes — bounded state on an unbounded feed."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .ops.dedup import minhash_signature
+    from .ops.text import with_shingles
+
+    assert k % bands == 0
+    rows = k // bands
+    base = (
+        docs_stream
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .transform(lambda d: with_shingles(d, text_col, "sh", shingle_n))
+        .filter(F.size("sh") > 0)
+        .withColumn("_sig", minhash_signature(F.col("sh"), k))
+        .select(
+            F.col(id_col).alias("doc_id"), F.col(ts_col).alias("ts"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.xxhash64(F.concat_ws(",", *[
+                        F.col("_sig")[j].cast("string")
+                        for j in range(b * rows, (b + 1) * rows)
+                    ])).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])).alias("band"))
+        .select("doc_id", "ts", "band.band_idx", "band.band_hash")
+    )
+
+    out_schema = ("doc_id bigint, band_idx int, band_hash bigint, "
+                  "first_doc_id bigint")
+    state_schema = "first_id bigint, first_ts bigint, last_ts bigint"
+
+    def fn(key, pdfs, state):
+        band_idx, band_hash = int(key[0]), int(key[1])
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows_in = []
+        for pdf in pdfs:
+            for did, t in zip(pdf["doc_id"].astype("int64"),
+                              pdf["ts"].astype("int64")):
+                rows_in.append((int(t) // 10**9, int(did)))
+        rows_in.sort()
+        if state.exists:
+            first_id, first_ts, last_ts = state.get
+        else:
+            first_ts, first_id = rows_in[0]
+            last_ts = first_ts
+        hits = []
+        for t, did in rows_in:
+            if did != first_id:
+                hits.append((did, band_idx, band_hash, first_id))
+            last_ts = max(last_ts, t)
+        state.update((first_id, first_ts, last_ts))
+        state.setTimeoutTimestamp(
+            max(last_ts * 1000 + 1, state.getCurrentWatermarkMs() + 1))
+        if hits:
+            yield pd.DataFrame(
+                hits, columns=["doc_id", "band_idx", "band_hash",
+                               "first_doc_id"])
+
+    return (
+        base.groupBy("band_idx", "band_hash")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.EventTimeTimeout)
+    )
+
+
 def stream_interval_join(
     left_stream: DataFrame,
     right_stream: DataFrame,

@@ -183,6 +183,52 @@ class TestStreaming:
         # exactly one survivor per distinct text across ALL micro-batches
         assert got == ["alpha beta", "epsilon zeta", "gamma delta"]
 
+    def test_stream_minhash_candidates_match_batch_lsh(self, spark,
+                                                       tmp_path):
+        """The streaming band-bucket registry must flag exactly the docs
+        the BATCH MinHash-LSH band join would pair with an earlier doc —
+        across micro-batch boundaries (near-dup pair split over two
+        triggers) and within one batch."""
+        from ebel_spark.ops.dedup import minhash_lsh_pairs
+        from ebel_spark.streaming import stream_minhash_candidates
+
+        d0 = "the quick brown fox jumps over the lazy dog and runs away"
+        d1 = d0.replace("away", "home")          # near-dup of d0
+        d2 = "completely different content about spark shuffle behavior"
+        d3 = d0                                  # exact dup, later batch
+        src = str(tmp_path / "nds")
+        spark.createDataFrame(
+            [(0, 1000, d0), (1, 1010, d1), (2, 1020, d2)],
+            ["doc_id", "ts", "text"],
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .write.mode("overwrite").parquet(src)
+        spark.createDataFrame(
+            [(3, 1500, d3)], ["doc_id", "ts", "text"],
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .write.mode("append").parquet(src)
+
+        sch = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        cand = stream_minhash_candidates(stream, k=32, bands=16,
+                                         shingle_n=3)
+        q = (cand.writeStream.format("memory").queryName("nd_t")
+             .option("checkpointLocation", str(tmp_path / "cknd"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        out = spark.table("nd_t").collect()
+        flagged = {r.doc_id for r in out}
+        # batch ground truth: which docs share >= 1 band with an earlier
+        # doc (threshold 0 keeps ALL band candidates)
+        batch = spark.createDataFrame(
+            [(0, d0), (1, d1), (2, d2), (3, d3)], ["doc_id", "text"])
+        pairs = minhash_lsh_pairs(batch, "doc_id", "text", k=32, bands=16,
+                                  shingle_n=3, threshold=0.0).collect()
+        later_of_pair = {max(p.a, p.b) for p in pairs}
+        assert flagged == later_of_pair and flagged == {1, 3}
+        # hits point at the bucket owner (the earliest doc)
+        assert all(r.first_doc_id < r.doc_id for r in out)
+
     def test_stream_graph_upsert_equals_batch_materialize(self, spark,
                                                           tmp_path):
         """Drain a multi-micro-batch stream through the foreachBatch graph
