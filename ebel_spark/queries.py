@@ -2211,14 +2211,29 @@ from .oracle_data import ORACLE_STMTS as _OS
 from .oracle_data import ensure_oracle_tables as _ensure_oracle
 
 
+_BEL_PARSED_MEMO: dict = {}
+
+
 def _bel_oracle_parsed(spark):
     """Distributed parse of the oracle corpus (same deterministic profile
-    the pandas-side oracle tables were built from)."""
+    the pandas-side oracle tables were built from).  Memoized per session
+    behind a MEMORY_AND_DISK persist: 25+ bel_* contract queries consume
+    this table, and without the memo each re-ran the full mapInPandas
+    parse (the most expensive stage in the whole gate).  The corpus is
+    profile-sized (bounded), so the persisted blocks are small."""
+    key = id(spark)
+    if key in _BEL_PARSED_MEMO:
+        return _BEL_PARSED_MEMO[key]
+    from pyspark import StorageLevel
+
     from .corpus import CorpusProfile, corpus_spark
     from . import parse as P
     _ensure_oracle()
     profile = CorpusProfile(n_files=_OF, statements_per_file=_OS)
-    return P.parse_sources(corpus_spark(spark, profile, partitions=8))
+    parsed = (P.parse_sources(corpus_spark(spark, profile, partitions=8))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    _BEL_PARSED_MEMO[key] = parsed
+    return parsed
 
 
 @q("bel_relation_counts", f"""
