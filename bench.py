@@ -153,6 +153,10 @@ def main(argv=None):
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         per_query[name] = round(best, 3)
+        # release operator-pinned intermediates: ~20 queries of stale
+        # persisted blocks measured 4-10x slowdowns on late heavy queries
+        from ebel_spark.ops.dedup import release_pins
+        release_pins()
 
     result = {
         "metric": "headline_queries_total",

@@ -23,6 +23,15 @@ from ..graph import cut_lineage
 from .text import shingles, tokens, with_shingles
 
 
+#: every _pin'd frame, so a long-lived session can release them between
+#: queries (release_pins).  Stale pinned blocks are not free even when
+#: unreferenced: a bench session running ~20 pair/ANN queries back-to-back
+#: measured the LATE queries 4-10x slower (semantic_dup_pairs 38 -> 18 s
+#: first run, 15 -> 1.7 s second) purely from accumulated blocks; a
+#: query-scoped unpersist restores standalone timings.
+_PINNED: list = []
+
+
 def _pin(df: DataFrame) -> DataFrame:
     """Persist a multi-consumer intermediate (MEMORY_AND_DISK).
 
@@ -31,10 +40,27 @@ def _pin(df: DataFrame) -> DataFrame:
     (shingling regex, k-permutation hashing, simhash vote fold) —
     measured 2-3x wall on the minhash operator.  MEMORY_AND_DISK spills
     per executor on a real cluster, which is the intended 100 TB
-    behavior; blocks age out LRU when the query's DataFrames are
-    released."""
+    behavior.  Harness loops call release_pins() between queries."""
     from pyspark import StorageLevel
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PINNED.append(df)
+    return df
+
+
+def release_pins() -> int:
+    """Unpersist every operator-pinned intermediate (NOT session-scoped
+    memo frames like the parsed BEL oracle corpus).  Returns the count
+    released.  Call between queries in bench/gate loops; a no-op cost
+    when nothing is pinned."""
+    n = 0
+    while _PINNED:
+        df = _PINNED.pop()
+        try:
+            df.unpersist(False)
+            n += 1
+        except Exception:  # session already stopped
+            pass
+    return n
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,12 @@ def get_spark(
         .config("spark.sql.optimizer.excludedRules",
                 "org.apache.spark.sql.catalyst.optimizer."
                 "InferFiltersFromGenerate")
+        # a many-query session (93-query gate, 22-query bench) holds far
+        # more generated-code classes than the 100-entry default cache;
+        # eviction forces multi-second Janino+C2 recompiles of the big
+        # unrolled-expression units on every revisit (measured 18 s ->
+        # 2.5 s on multimodal_features' second run)
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
         .config(
             "spark.driver.extraJavaOptions",

@@ -96,9 +96,12 @@ def main():
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    from ebel_spark.ops.dedup import release_pins
+
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        release_pins()  # drop the previous query's pinned intermediates
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
