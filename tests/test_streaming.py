@@ -197,15 +197,19 @@ class TestStreaming:
         d2 = "completely different content about spark shuffle behavior"
         d3 = d0                                  # exact dup, later batch
         src = str(tmp_path / "nds")
+        # coalesce(1): each batch must land as ONE file — a multi-file
+        # batch under maxFilesPerTrigger=1 would split docs 0/1/2 into
+        # separate triggers in nondeterministic file order, making
+        # bucket ownership (and the flagged set) depend on the listing
         spark.createDataFrame(
             [(0, 1000, d0), (1, 1010, d1), (2, 1020, d2)],
             ["doc_id", "ts", "text"],
         ).withColumn("ts", F.col("ts").cast("timestamp")) \
-         .write.mode("overwrite").parquet(src)
+         .coalesce(1).write.mode("overwrite").parquet(src)
         spark.createDataFrame(
             [(3, 1500, d3)], ["doc_id", "ts", "text"],
         ).withColumn("ts", F.col("ts").cast("timestamp")) \
-         .write.mode("append").parquet(src)
+         .coalesce(1).write.mode("append").parquet(src)
 
         sch = spark.read.parquet(src).schema
         stream = (spark.readStream.schema(sch)
