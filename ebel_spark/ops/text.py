@@ -8,6 +8,7 @@ scoring, n-gram language ID, rolling-hash document fingerprinting.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 #: token definition shared with the DuckDB oracles:
 #: lowercase, split on runs of non-alphanumerics, drop empties
@@ -591,6 +592,63 @@ def unigram_logprob(
                 F.round(F.col("ssum") / (F.lit(1000000000.0)
                                          * F.col("n_tokens")),
                         decimals).alias("nll"))
+    )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 256,
+) -> DataFrame:
+    """Deterministic top-k corpus vocabulary: tokens ranked by
+    (count DESC, token ASC) — the total order makes the k-boundary
+    tie-break reproducible under any partitioning.  Shape at scale: one
+    map-side-combined token count shuffle followed by a global top-k
+    (TakeOrderedAndProject — each partition keeps only its k best, the
+    driver merges k-sized heaps; no global sort materializes).
+    Returns (token, cnt, rank) with rank 1..k."""
+    tc = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return tc.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def oov_stats(
+    df: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", decimals: int = 6,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a (typically
+    vocab_topk-built) vocabulary — the tokenizer-coverage / junk signal a
+    training pipeline gates on before paying for real BPE encoding.
+    Counts token OCCURRENCES (not distinct types): explode + broadcast
+    hash join against the k-row vocab, one per-doc partial-agg shuffle;
+    zero-token docs are restored by the final left join so every input
+    row gets a report."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.col(text_col))).alias("token"))
+    hits = (
+        toks.join(F.broadcast(vocab.select("token")
+                              .withColumn("_in", F.lit(1))),
+                  "token", "left")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.count("_in").alias("n_in"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (F.coalesce("n_tokens", F.lit(0))
+             - F.coalesce("n_in", F.lit(0))).cast("long").alias("n_oov"),
+            F.round(
+                F.when(F.coalesce("n_tokens", F.lit(0)) > 0,
+                       (F.col("n_tokens") - F.col("n_in"))
+                       / F.col("n_tokens").cast("double"))
+                .otherwise(F.lit(0.0)), decimals).alias("oov_ratio"),
+        )
     )
 
 

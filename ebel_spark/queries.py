@@ -1148,6 +1148,45 @@ def doc_unigram_logprob(spark, sf_dir):
     return T.unigram_logprob(d, "doc_id", "text", decimals=4)
 
 
+@q("doc_vocab_oov", """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+         AS token
+  FROM documents
+), vc AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+), vocab AS (
+  SELECT token FROM vc ORDER BY cnt DESC, token ASC LIMIT 16
+), pd AS (
+  SELECT t.doc_id, count(*) AS n_tokens, count(v.token) AS n_in
+  FROM toks t LEFT JOIN vocab v USING (token)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(pd.n_tokens - pd.n_in, 0) AS BIGINT) AS n_oov,
+       round(CASE WHEN coalesce(pd.n_tokens, 0) > 0
+             THEN (pd.n_tokens - pd.n_in) * 1.0 / pd.n_tokens
+             ELSE 0.0 END, 6) AS oov_ratio
+FROM documents d LEFT JOIN pd USING (doc_id)
+""")
+def doc_vocab_oov(spark, sf_dir):
+    """Tokenizer-coverage gate: build the deterministic top-k corpus
+    vocabulary (count DESC, token ASC — total order, so the k-boundary is
+    reproducible), then score every document's out-of-vocabulary token
+    OCCURRENCE rate against it (ops/text.vocab_topk + oov_stats).  High
+    OOV = binary junk / wrong language / markup — gated before paying for
+    real BPE encoding.  Scale shape: map-side-combined token counts, a
+    TakeOrderedAndProject top-k (no global sort), and a broadcast join of
+    the k-row vocab against the exploded tokens.  k=16 here because the
+    synthetic corpus has only ~31 distinct tokens — the gate needs both
+    in- and out-of-vocab mass to be a real check."""
+    d = _tw(spark, sf_dir, "documents")
+    v = T.vocab_topk(d, "text", k=16)
+    return T.oov_stats(d, v, "doc_id", "text", decimals=6)
+
+
 @q("doc_source_stats", """
 SELECT source,
        count(*) AS docs,
@@ -2020,6 +2059,48 @@ def semantic_keep(spark, sf_dir):
         cc.select(F.col("id").alias("vec_id"), "cluster_id")
         .withColumn("cluster_size", F.count("*").over(w))
         .withColumn("keep", F.col("vec_id") == F.col("cluster_id"))
+    )
+
+
+@q("embedding_cluster_sample", """
+WITH cl AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_vecs_v1/ivf_corpus_lists/*.parquet')
+), r AS (
+  SELECT vec_id, CAST(list_id AS BIGINT) AS cluster_id,
+         CAST(row_number() OVER (
+             PARTITION BY list_id
+             ORDER BY md5('cbs:' || CAST(vec_id AS VARCHAR)), vec_id)
+           AS BIGINT) AS rnk,
+         CAST(count(*) OVER (PARTITION BY list_id) AS BIGINT) AS cluster_n
+  FROM cl)
+SELECT vec_id, cluster_id, rnk, cluster_n, rnk <= 16 AS keep
+FROM r
+""")
+def embedding_cluster_sample(spark, sf_dir):
+    """Cluster-balanced (topic-balanced) sampling: assign every vector to
+    its nearest k-means (IVF) cluster, then cap each cluster at m=16 docs
+    taken in deterministic hash order — the corpus-mixing primitive that
+    stops one over-represented topic from dominating a training mix (the
+    embedding-space analog of doc_budget_slice's per-source token budget).
+    Scale shape: map-only centroid assignment against the broadcast model
+    matrix, then ONE per-cluster window; cluster sizes are ~n/nlist by
+    construction and nlist scales with the corpus (auto_nlist), so no
+    window partition is ever a skew hazard.  Full-value oracle: the
+    driver-retrained quantizer twin's list assignments re-ranked by the
+    same md5 order in SQL."""
+    e = _tw(spark, sf_dir, "embeddings")
+    cents = X.ivf_train_centroids(e, nlist=8, dim=64, iters=2)
+    a = X.with_nearest_lists(e, cents, 64, 1).select(
+        "vec_id", F.col("lists")[0].cast("long").alias("cluster_id"))
+    wo = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.concat(F.lit("cbs:"), F.col("vec_id").cast("string"))),
+        F.col("vec_id"))
+    wc = Window.partitionBy("cluster_id")
+    return (
+        a.withColumn("rnk", F.row_number().over(wo).cast("long"))
+        .withColumn("cluster_n", F.count(F.lit(1)).over(wc).cast("long"))
+        .withColumn("keep", F.col("rnk") <= 16)
     )
 
 

@@ -151,6 +151,46 @@ class TestText:
         assert 0 <= rows[2] <= 1
 
 
+class TestVocabOov:
+    def test_vocab_topk_deterministic_boundary(self, spark):
+        # counts: apple 3, banana 2, cherry 2, date 1 — at k=2 the
+        # boundary tie (banana vs cherry, both 2) must break token-ASC
+        df = spark.createDataFrame(
+            [(0, "apple banana cherry"),
+             (1, "apple banana cherry"),
+             (2, "apple date")],
+            ["doc_id", "text"])
+        v = T.vocab_topk(df, k=2).collect()
+        assert [(r.token, r.cnt, r.rank) for r in v] == [
+            ("apple", 3, 1), ("banana", 2, 2)]
+
+    def test_oov_counts_occurrences_and_keeps_empty_docs(self, spark):
+        df = spark.createDataFrame(
+            [(0, "apple apple zebra"),   # 2 in-vocab + 1 oov occurrence
+             (1, "zebra zebra"),         # all oov
+             (2, "")],                   # zero tokens -> ratio 0.0
+            ["doc_id", "text"])
+        vocab = spark.createDataFrame([("apple",)], ["token"])
+        got = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_ratio)
+               for r in T.oov_stats(df, vocab).collect()}
+        assert got[0] == (3, 1, round(1 / 3, 6))
+        assert got[1] == (2, 2, 1.0)
+        assert got[2] == (0, 0, 0.0)
+
+    def test_oov_partitioning_independent(self, spark):
+        df = spark.range(200).selectExpr(
+            "id AS doc_id",
+            "concat('tok', CAST(id % 7 AS STRING), ' x y tok',"
+            " CAST(id % 3 AS STRING)) AS text")
+        v = T.vocab_topk(df, k=3)
+        a = {(r.doc_id, r.n_oov, r.oov_ratio)
+             for r in T.oov_stats(df, v).collect()}
+        b = {(r.doc_id, r.n_oov, r.oov_ratio)
+             for r in T.oov_stats(df.repartition(13), T.vocab_topk(
+                 df.repartition(13), k=3)).collect()}
+        assert a == b
+
+
 class TestBpeTokens:
     def test_bpe_token_count(self, spark):
         df = spark.createDataFrame(
@@ -465,6 +505,23 @@ class TestVectors:
             nlist=4, nprobe=4).collect())
         assert ivf == exact
 
+    def test_cluster_sample_invariants(self, spark):
+        from ebel_spark.queries import QUERIES
+        fn, _ = QUERIES["embedding_cluster_sample"]
+        got = fn(spark, SF).collect()
+        n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+        assert len(got) == n                      # every vector reported
+        by_cluster: dict = {}
+        for r in got:
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for cid, rows in by_cluster.items():
+            ranks = sorted(r.rnk for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))   # dense ranks
+            assert all(r.cluster_n == len(rows) for r in rows)
+            kept = sum(1 for r in rows if r.keep)
+            assert kept == min(16, len(rows))     # the per-cluster cap
+            assert all(r.keep == (r.rnk <= 16) for r in rows)
+
     def test_pq_topk_finds_planted_near_dup(self, vecs):
         # a near-identical vector quantizes to (mostly) the same codes,
         # so ADC ranks it first for most queries
@@ -760,7 +817,8 @@ class TestContractInline:
              "doc_split_assign", "doc_pack_bins", "doc_repetition",
              "doc_pii_scrub", "corpus_frequent_ngrams",
              "events_asof_join", "multimodal_features",
-             "doc_tfidf_topk", "doc_source_stats", "doc_unigram_logprob"]
+             "doc_tfidf_topk", "doc_source_stats", "doc_unigram_logprob",
+             "doc_vocab_oov"]
 
     @staticmethod
     def _norm(cols, rows):
