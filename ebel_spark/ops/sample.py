@@ -139,6 +139,64 @@ def shuffle_shards(
     )
 
 
+def seq_pack(
+    df: DataFrame,
+    cost_col: Column,
+    seq_len: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "pack:",
+) -> DataFrame:
+    """Concat-and-chunk context-window packing: lay the corpus out as one
+    deterministic pseudo-random token stream per shard and chunk the
+    stream into fixed `seq_len` windows, reporting for every document the
+    exact window span it occupies — INCLUDING documents that straddle a
+    window boundary (the GPT-style packing `pack_bins` deliberately does
+    not model; there a document is atomic and opens a new bin).
+
+    Per document: its shard, stream start offset, the first/last window
+    index it touches, its offset inside the first window, and the number
+    of windows it spans.  A downstream shard writer can materialize
+    window i of a shard by streaming exactly the rows with
+    seq_first <= i <= seq_last in stream order — no second pass.
+
+    Scale shape: shard = id-hash mod n_shards makes every shard an
+    independent stream, so the ONE window pass (exclusive prefix sum of
+    cost, partitioned by shard, ordered by (hash, id)) parallelizes
+    across shards instead of serializing a global cumsum; everything
+    after the prefix sum is row-local column algebra.  n_shards is the
+    write parallelism at 100 TB, exactly as in `shuffle_shards`."""
+    h = hash_bucket(F.col(id_col), salt=salt)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cost = cost_col.cast("long")
+    start = F.coalesce(F.sum("cost").over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("h", h)
+        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        .withColumn("cost", cost)
+        .withColumn("start_off", start)
+        .select(
+            id_col, "shard", "cost", "start_off",
+            F.floor(F.col("start_off") / seq_len)
+             .cast("long").alias("seq_first"),
+            F.floor(
+                F.greatest(F.col("start_off") + F.col("cost") - 1,
+                           F.col("start_off")) / seq_len)
+             .cast("long").alias("seq_last"),
+            (F.col("start_off") % seq_len).cast("long").alias("seq_off"),
+            F.when(
+                F.col("cost") > 0,
+                F.floor((F.col("start_off") + F.col("cost") - 1) / seq_len)
+                - F.floor(F.col("start_off") / seq_len) + 1)
+             .otherwise(F.lit(0)).cast("long").alias("n_seqs"),
+        )
+    )
+
+
 def budget_slice(
     df: DataFrame,
     cost_col: Column,

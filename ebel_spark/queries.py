@@ -1317,6 +1317,48 @@ def doc_shuffle_shards(spark, sf_dir):
     return S.shuffle_shards(d).select("doc_id", "shard", "pos")
 
 
+@q("doc_seq_pack", """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              t -> t <> '')) AS BIGINT) AS cost,
+         ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::UBIGINT % 10000 AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(h % 16 AS INT) AS shard, cost, h FROM c
+), o AS (
+  SELECT doc_id, shard, cost,
+         CAST(coalesce(sum(cost) OVER (PARTITION BY shard ORDER BY h, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_off
+  FROM s)
+SELECT doc_id, shard, cost, start_off,
+       CAST(floor(start_off / 128.0) AS BIGINT) AS seq_first,
+       CAST(floor(greatest(start_off + cost - 1, start_off) / 128.0)
+            AS BIGINT) AS seq_last,
+       CAST(start_off % 128 AS BIGINT) AS seq_off,
+       CAST(CASE WHEN cost > 0
+            THEN floor((start_off + cost - 1) / 128.0)
+                 - floor(start_off / 128.0) + 1
+            ELSE 0 END AS BIGINT) AS n_seqs
+FROM o
+""")
+def doc_seq_pack(spark, sf_dir):
+    """GPT-style concat-and-chunk packing plan: per shard, the corpus is
+    one deterministic hash-ordered token stream chunked into 128-token
+    context windows; every document reports the exact window span it
+    occupies, including boundary-straddling spans (`pack_bins` is the
+    atomic-document variant; this is the split-documents-across-windows
+    variant real LM training shards use).  One per-shard prefix-sum
+    window pass, then row-local algebra — parallel across the 16 shards,
+    never a global cumsum."""
+    d = _tw(spark, sf_dir, "documents")
+    return S.seq_pack(d, T.token_count(F.col("text")), seq_len=128,
+                      n_shards=16)
+
+
 @q("doc_budget_slice", """
 WITH c AS (
   SELECT source, doc_id,

@@ -742,6 +742,44 @@ class TestSampling:
         b = {(r.doc_id, r.shard, r.pos) for r in s.collect()}
         assert a == b
 
+    def test_seq_pack_stream_contiguity(self, spark, real_docs):
+        from ebel_spark.ops import sample as S
+        from pyspark.sql import functions as F
+        L = 128
+        p = S.seq_pack(real_docs, F.col("n_chars"), seq_len=L, n_shards=8)
+        rows = p.collect()
+        by_shard: dict = {}
+        for r in rows:
+            by_shard.setdefault(r.shard, []).append(r)
+        for shard, rs in by_shard.items():
+            rs.sort(key=lambda r: r.start_off)
+            # the shard is ONE contiguous token stream: each doc starts
+            # exactly where the previous one ended
+            off = 0
+            for r in rs:
+                assert r.start_off == off
+                off += r.cost
+                # window span is the chunking of [start, start+cost)
+                assert r.seq_first == r.start_off // L
+                assert r.seq_off == r.start_off % L
+                if r.cost > 0:
+                    assert r.seq_last == (r.start_off + r.cost - 1) // L
+                    assert r.n_seqs == r.seq_last - r.seq_first + 1
+                else:
+                    assert r.n_seqs == 0 and r.seq_last == r.seq_first
+        # boundary straddles exist at this seq_len (docs avg ~300 chars)
+        assert any(r.n_seqs > 1 for r in rows)
+
+    def test_seq_pack_partitioning_independent(self, spark, real_docs):
+        from ebel_spark.ops import sample as S
+        from pyspark.sql import functions as F
+        a = {tuple(r) for r in S.seq_pack(
+            real_docs, F.col("n_chars"), 64, n_shards=4).collect()}
+        b = {tuple(r) for r in S.seq_pack(
+            real_docs.repartition(17), F.col("n_chars"), 64,
+            n_shards=4).collect()}
+        assert a == b
+
     def test_budget_slice_respects_budget(self, spark, real_docs):
         from ebel_spark.ops import sample as S
         from pyspark.sql import functions as F
