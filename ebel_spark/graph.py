@@ -1181,6 +1181,9 @@ def match_context(
     the final constraint is a semi-join — node payloads never ride
     through the shuffle.
     """
+    if direction not in ("both", "out", "in"):
+        raise ValueError(
+            f"direction must be 'both', 'out' or 'in', got {direction!r}")
     ef = edges
     if edge_relations:
         ef = ef.filter(F.col("relation").isin(list(edge_relations)))

@@ -31,6 +31,13 @@ from .text import shingles, tokens, with_shingles
 #: query-scoped unpersist restores standalone timings.
 _PINNED: list = []
 
+#: FIFO bound on operator pins: a single query pins at most a handful of
+#: intermediates, so evicting beyond this depth can only touch frames
+#: from COMPLETED queries — it protects long-lived sessions (notebook,
+#: service) that never call release_pins() from unbounded block growth,
+#: while the harness loops still release eagerly between queries.
+_MAX_PINNED = 16
+
 
 def _pin(df: DataFrame) -> DataFrame:
     """Persist a multi-consumer intermediate (MEMORY_AND_DISK).
@@ -40,10 +47,17 @@ def _pin(df: DataFrame) -> DataFrame:
     (shingling regex, k-permutation hashing, simhash vote fold) —
     measured 2-3x wall on the minhash operator.  MEMORY_AND_DISK spills
     per executor on a real cluster, which is the intended 100 TB
-    behavior.  Harness loops call release_pins() between queries."""
+    behavior.  Harness loops call release_pins() between queries; other
+    callers are bounded by the _MAX_PINNED FIFO eviction."""
     from pyspark import StorageLevel
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _PINNED.append(df)
+    while len(_PINNED) > _MAX_PINNED:
+        old = _PINNED.pop(0)
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
     return df
 
 
@@ -415,12 +429,16 @@ def editdist_pairs(
     """
     B = band_width if band_width is not None else max_dist + 1
     assert B > max_dist, "band width must exceed max_dist for recall"
+    # evaluate extra_key BEFORE the narrow projection: it usually
+    # references source columns (language, a MinHash band) that the
+    # projection drops
+    if extra_key is not None:
+        df = df.withColumn("xk", extra_key)
     base = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt"),
         F.length(text_col).alias("len"),
-        (F.length(text_col) / B).cast("bigint").alias("band"))
-    if extra_key is not None:
-        base = base.withColumn("xk", extra_key)
+        (F.length(text_col) / B).cast("bigint").alias("band"),
+        *(["xk"] if extra_key is not None else []))
     # the l.id < r.id orientation filter means either side of a pair can
     # play "left", so left must cover BOTH adjacent bands (band±1) as
     # well as its own for the equi-join to see every |band diff| <= 1

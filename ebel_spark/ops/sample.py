@@ -39,6 +39,19 @@ def hash_bucket(col: Column, salt: str = "") -> Column:
     )
 
 
+def hash_order(col: Column, salt: str = "") -> Column:
+    """Full-width deterministic ORDER key: the 32-hex md5 string of
+    salt || key (lowercase hex compares identically in Spark and DuckDB).
+
+    `hash_bucket` is for threshold/assignment decisions, where 10k-bucket
+    grain is the documented resolution; this is for ORDERING rows by hash
+    (shuffle position, slice priority, pack stream).  At 10k grain every
+    bucket holds ~n/10000 rows whose ties fall back to id-ascending runs
+    — same-source, same-crawl-batch neighbors pack adjacently at web
+    scale.  128 bits leaves no meaningful tie mass at any corpus size."""
+    return F.md5(F.concat(F.lit(salt), col.cast("string")))
+
+
 def split_assign(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -128,14 +141,18 @@ def shuffle_shards(
     Scale shape: the window partitions BY SHARD, so the per-shard sorts
     run in parallel — a global row_number over the hash order would
     serialize the whole corpus through one task.  At 100 TB, n_shards is
-    the write parallelism; each shard is one training-data file."""
+    the write parallelism; each shard is one training-data file.
+
+    Position order uses the full-width `hash_order` key: the 10k-bucket
+    `hash_bucket` grain would tie ~n/10000 rows per bucket and replay
+    them id-ascending — materially non-random at web scale."""
     h = hash_bucket(F.col(id_col), salt=salt)
-    w = Window.partitionBy("shard").orderBy("h", id_col)
+    w = Window.partitionBy("shard").orderBy("ord", id_col)
     return (
-        df.withColumn("h", h)
-        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        df.withColumn("shard", (h % n_shards).cast("int"))
+        .withColumn("ord", hash_order(F.col(id_col), salt=salt))
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
-        .drop("h")
+        .drop("ord")
     )
 
 
@@ -165,18 +182,21 @@ def seq_pack(
     cost, partitioned by shard, ordered by (hash, id)) parallelizes
     across shards instead of serializing a global cumsum; everything
     after the prefix sum is row-local column algebra.  n_shards is the
-    write parallelism at 100 TB, exactly as in `shuffle_shards`."""
+    write parallelism at 100 TB, exactly as in `shuffle_shards` — and as
+    there, the stream order key is the full-width `hash_order`, not the
+    10k-grain bucket, so the stream never degenerates into id-ascending
+    runs."""
     h = hash_bucket(F.col(id_col), salt=salt)
     w = (
         Window.partitionBy("shard")
-        .orderBy("h", id_col)
+        .orderBy("ord", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cost = cost_col.cast("long")
     start = F.coalesce(F.sum("cost").over(w), F.lit(0)).cast("long")
     return (
-        df.withColumn("h", h)
-        .withColumn("shard", (F.col("h") % n_shards).cast("int"))
+        df.withColumn("shard", (h % n_shards).cast("int"))
+        .withColumn("ord", hash_order(F.col(id_col), salt=salt))
         .withColumn("cost", cost)
         .withColumn("start_off", start)
         .select(
@@ -214,8 +234,11 @@ def budget_slice(
     The inclusive running sum is one window pass partitioned by source
     (parallel across sources, never a global sort); the hash priority
     makes the slice a uniform random-without-replacement subset that is
-    stable across runs and engines."""
-    pri = hash_bucket(F.col(id_col), salt=salt)
+    stable across runs and engines.  Priority is the full-width
+    `hash_order` key: at 10k-bucket grain the budget boundary would fall
+    inside a bucket whose ties resolve id-ascending, biasing the
+    boundary toward low ids."""
+    pri = hash_order(F.col(id_col), salt=salt)
     w = (
         Window.partitionBy(part_col)
         .orderBy(pri.asc(), F.col(id_col).asc())

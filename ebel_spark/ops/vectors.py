@@ -299,9 +299,16 @@ _IVF_MODEL_MEMO: dict = {}
 
 
 def _corpus_plan_key(df: DataFrame):
+    # semanticHash is PLAN identity, not data identity: a parquet table
+    # rewritten at the same path keeps the same analyzed plan.  Folding
+    # in the resolved input-file list (driver-side metadata, no job)
+    # invalidates the memo on any rewrite — part-file names are fresh
+    # UUIDs per write.  Non-file plans (LocalRelation test frames) list
+    # no files; their data is part of the plan hash itself.
     try:
         return (id(df.sparkSession),
-                df._jdf.queryExecution().analyzed().semanticHash())
+                df._jdf.queryExecution().analyzed().semanticHash(),
+                hash(tuple(sorted(df.inputFiles()))))
     except Exception:
         return None
 
@@ -560,13 +567,20 @@ def pq_topk(
     )
     spark = corpus.sparkSession
     lut_rows = [
-        (int(r[id_col]), s, c, luts[s][c])
+        (r[id_col], s, c, luts[s][c])
         for r in queries.select(id_col, vec_col).collect()
         for luts in [pq_luts_py(r[vec_col], model)]
         for s in range(m) for c in range(ksub)
     ]
-    lut = spark.createDataFrame(
-        lut_rows, "query_id bigint, s int, code int, slut bigint")
+    # query_id keeps the caller's id type (string keys are as valid here
+    # as in brute/lsh/ivf_topk); only the LUT payload is fixed-typed
+    from pyspark.sql import types as Ty
+    lut = spark.createDataFrame(lut_rows, Ty.StructType([
+        Ty.StructField("query_id", queries.schema[id_col].dataType),
+        Ty.StructField("s", Ty.IntegerType()),
+        Ty.StructField("code", Ty.IntegerType()),
+        Ty.StructField("slut", Ty.LongType()),
+    ]))
     scored = (
         codes.join(F.broadcast(lut), ["s", "code"])
         .filter(F.col("corpus_id") != F.col("query_id"))

@@ -1301,10 +1301,11 @@ def doc_pack_bins(spark, sf_dir):
 WITH h AS (
   SELECT doc_id,
          ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8))
-           ::UBIGINT % 10000 AS h
+           ::UBIGINT % 10000 AS h,
+         md5('shuf:' || CAST(doc_id AS VARCHAR)) AS ord
   FROM documents)
 SELECT doc_id, CAST(h % 64 AS INT) AS shard,
-       CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) - 1
+       CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY ord, doc_id) - 1
             AS BIGINT) AS pos
 FROM h
 """)
@@ -1323,13 +1324,15 @@ WITH c AS (
          CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                               t -> t <> '')) AS BIGINT) AS cost,
          ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8))
-           ::UBIGINT % 10000 AS h
+           ::UBIGINT % 10000 AS h,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
   FROM documents
 ), s AS (
-  SELECT doc_id, CAST(h % 16 AS INT) AS shard, cost, h FROM c
+  SELECT doc_id, CAST(h % 16 AS INT) AS shard, cost, ord FROM c
 ), o AS (
   SELECT doc_id, shard, cost,
-         CAST(coalesce(sum(cost) OVER (PARTITION BY shard ORDER BY h, doc_id
+         CAST(coalesce(sum(cost) OVER (PARTITION BY shard
+                                       ORDER BY ord, doc_id
                                        ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND 1 PRECEDING), 0) AS BIGINT)
            AS start_off
@@ -1364,8 +1367,7 @@ WITH c AS (
   SELECT source, doc_id,
          CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                               t -> t <> '')) AS BIGINT) AS cost,
-         ('0x' || substr(md5('slice:' || CAST(doc_id AS VARCHAR)), 1, 8))
-           ::UBIGINT % 10000 AS pri
+         md5('slice:' || CAST(doc_id AS VARCHAR)) AS pri
   FROM documents)
 SELECT source, doc_id, cost, cum_cost FROM (
   SELECT source, doc_id, cost,
@@ -3364,11 +3366,16 @@ _FRONT = [
     # red row in r2 (oracle HUGEINT cast fixed this round) — needs a fresh
     # green driver row
     "doc_budget_slice",
-    # representative non-redundant coverage of the remaining families
-    "pricing_summary", "top_customers_per_nation", "events_asof_join",
-    "stream_user_sessions", "value_bucket_range_join", "doc_exact_dups",
-    "doc_dup_clusters", "doc_ngram_jaccard_pairs", "doc_training_manifest",
-    "doc_bm25_topk", "doc_lang_quality",
+    # round-3 additions with no driver row in ANY round yet — every query
+    # already green in CORRECTNESS_r02 keeps that artifact as its hard
+    # evidence, so the window prioritizes never-driver-checked queries
+    "ann_pq_topk", "semantic_keep", "stream_minhash_hits", "doc_seq_pack",
+    "doc_vocab_oov", "embedding_cluster_sample", "doc_editdist_pairs",
+    "doc_dup_shingle_fraction",
+    # representative coverage of the remaining families (the rest of the
+    # r2-green demos — pricing_summary, events_asof_join, doc_exact_dups,
+    # stream_user_sessions, … — stand on their CORRECTNESS_r02 rows)
+    "doc_dup_clusters", "doc_training_manifest", "doc_lang_quality",
 ]
 
 

@@ -86,6 +86,14 @@ def get_spark(
         # unrolled-expression units on every revisit (measured 18 s ->
         # 2.5 s on multimodal_features' second run)
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # with a reliable spark.checkpoint.dir set, every cut_lineage()
+        # in the iterative graph ops writes a full dataset copy; without
+        # this flag Spark NEVER deletes those files (the default leaves
+        # them past application exit), so a long session's checkpoint
+        # store grows without bound.  With it, the ContextCleaner removes
+        # a checkpoint's files once its RDD is unreferenced — i.e. one to
+        # two iterations later, exactly the localCheckpoint lifetime.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config(
             "spark.driver.extraJavaOptions",

@@ -320,6 +320,8 @@ class TestMatchContext:
         ins = G.match_context(nodes, edges, direction="in")
         assert [r.bel for r in outs.collect()] == ["a"]
         assert [r.bel for r in ins.collect()] == ["b"]
+        with pytest.raises(ValueError, match="direction"):
+            G.match_context(nodes, edges, direction="outbound")
 
 
 class TestReliableCheckpoint:

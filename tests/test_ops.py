@@ -389,6 +389,22 @@ class TestEditDistance:
                 want[(ia, ib)] = d
         assert got == want
 
+    def test_editdist_extra_key_blocks_across_groups(self, spark):
+        # extra_key referencing a SOURCE column must resolve (r3 review
+        # fix: the key is evaluated before the narrow projection), and
+        # near-identical docs in different groups must NOT pair
+        from pyspark.sql import functions as F
+        rows = [
+            (1, "a" * 12, "en"),
+            (2, "a" * 13, "en"),   # dist 1, same group -> pair
+            (3, "a" * 12, "de"),   # dist 0 vs doc 1, other group -> no pair
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "language"])
+        got = {(r.a, r.b) for r in D.editdist_pairs(
+            df, "doc_id", "text", max_dist=5,
+            extra_key=F.col("language")).collect()}
+        assert got == {(1, 2)}
+
     def test_dup_shingle_fraction(self, spark):
         rows = [
             (1, "the quick brown fox jumps high"),
@@ -533,6 +549,33 @@ class TestVectors:
         again = X.pq_topk(vecs, vecs.filter("vec_id < 5"), dim=16, k=1,
                           m=4, ksub=4, iters=1).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    def test_pq_topk_string_ids(self, spark, vecs):
+        # id generality (r3 review fix): string keys, accepted by every
+        # other *_topk operator, must work and keep their type
+        from pyspark.sql import functions as F
+        svecs = vecs.select(
+            F.concat(F.lit("v"), F.col("vec_id")).alias("vec_id"),
+            "embedding", "label")
+        got = X.pq_topk(svecs, svecs.filter("vec_id IN ('v0','v1')"),
+                        dim=16, k=1, m=4, ksub=4, iters=1).collect()
+        assert {r.query_id for r in got} == {"v0", "v1"}
+        assert all(isinstance(r.corpus_id, str) for r in got)
+
+    def test_ivf_memo_invalidated_by_rewrite(self, spark, vecs, tmp_path):
+        # the model memo keys on plan + input FILES: rewriting the same
+        # path must retrain, not return the stale model (r3 review fix)
+        import numpy as np
+        p = str(tmp_path / "vecs.parquet")
+        vecs.write.mode("overwrite").parquet(p)
+        a = X.ivf_train_centroids(spark.read.parquet(p), nlist=2, dim=16)
+        rng = np.random.RandomState(99)
+        other = spark.createDataFrame(
+            [(100 + i, [float(x) for x in rng.randn(16)], 0)
+             for i in range(10)], ["vec_id", "embedding", "label"])
+        other.write.mode("overwrite").parquet(p)
+        b = X.ivf_train_centroids(spark.read.parquet(p), nlist=2, dim=16)
+        assert a != b
 
     def test_pq_codebook_matches_python_twin(self, vecs):
         from ebel_spark.oracle_docs import _pq_model_py
