@@ -30,7 +30,14 @@ _LOCATION_RE = r"^(\d+|X|Y|mitochondria)(?:(?:(p|q)?(\d+))?(?:\.(\d+)))?"
 def location_struct_col(loc):
     """Spark twin of the reference HGNC chromosome-location parser
     (hgnc.py:239-253): '19q13.43' -> (chromosome=19, arm=q, region=13,
-    band=43); non-matching strings carry `unknown_schema` instead."""
+    band=43); non-matching strings carry `unknown_schema` instead.
+
+    Reference-faithful quirk, kept deliberately: in the reference regex
+    (hgnc.py:241) arm/region sit inside an outer optional group whose
+    `\\.(band)` part is mandatory, so a BAND-LESS location like '19q13'
+    or 'Xq28' yields chromosome only (arm=region=None, verified against
+    the reference with re.match).  Parity beats prettiness here — the
+    struct must match the reference's stored dict field-for-field."""
     chrom = F.regexp_extract(loc, _LOCATION_RE, 1)
     arm = F.regexp_extract(loc, _LOCATION_RE, 2)
     region = F.regexp_extract(loc, _LOCATION_RE, 3)
@@ -55,10 +62,17 @@ def link_hgnc(nodes: DataFrame, hgnc: DataFrame) -> DataFrame:
     bio = F.col("node_class").isin(list(BIO_OBJECT_CLASSES))
     is_hgnc = bio & (F.col("namespace") == "HGNC") & F.col("name").isNotNull()
 
-    dim = hgnc.select(
-        F.col("symbol").alias("h_symbol"),
-        F.col("label").alias("h_label"),
-        F.col("location").alias("h_location"),
+    # one row per symbol, deterministically (a duplicated symbol row in
+    # the dim would otherwise fan out fact rows and inflate node counts)
+    dw = Window.partitionBy("h_symbol").orderBy("h_label", "h_location")
+    dim = (
+        hgnc.select(
+            F.col("symbol").alias("h_symbol"),
+            F.col("label").alias("h_label"),
+            F.col("location").alias("h_location"),
+        )
+        .withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1).drop("rn")
     )
     # direct symbol match
     out = nodes.join(
@@ -67,13 +81,23 @@ def link_hgnc(nodes: DataFrame, hgnc: DataFrame) -> DataFrame:
         "left",
     )
 
-    # prev-symbol correction for HGNC names that matched nothing
-    prev = hgnc.select(
-        F.explode("prev_symbols").alias("p_prev"),
-        F.col("symbol").alias("p_symbol"),
-        F.col("label").alias("p_label"),
-        F.col("location").alias("p_location"),
-    ).dropDuplicates(["p_prev"])
+    # prev-symbol correction for HGNC names that matched nothing.  Two
+    # current symbols can share a prev symbol (HGNC merges/splits); the
+    # min-by-symbol pick makes the correction target deterministic
+    # (same standard as link_uniprot's min-by-accession), where a bare
+    # dropDuplicates would keep a partition-order-dependent row.
+    pw = Window.partitionBy("p_prev").orderBy(
+        "p_symbol", "p_label", "p_location")
+    prev = (
+        hgnc.select(
+            F.explode("prev_symbols").alias("p_prev"),
+            F.col("symbol").alias("p_symbol"),
+            F.col("label").alias("p_label"),
+            F.col("location").alias("p_location"),
+        )
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") == 1).drop("rn")
+    )
     # skip corrections whose target symbol is already used by another node
     # (hgnc.py:283-291: "correction only possible if ...")
     existing_names = (
@@ -97,11 +121,18 @@ def link_hgnc(nodes: DataFrame, hgnc: DataFrame) -> DataFrame:
             "bel",
             F.when(
                 corrected,
-                # regex-patch the canonical string (hgnc.py:287-288)
+                # regex-patch the canonical string (hgnc.py:287-288).
+                # The name is quoted with \Q...\E (legacy HGNC symbols
+                # contain regex metachars like the '.' in NKX2.5, which
+                # would otherwise match ANY char) and the replacement's
+                # Java group-reference chars ($ and \) are escaped so a
+                # symbol is always substituted literally.
                 F.regexp_replace(
                     F.col("bel"),
-                    F.concat(F.lit('(?<=:")'), F.col("name"), F.lit('(?=")')),
-                    F.col("p_symbol"),
+                    F.concat(F.lit('(?<=:")\\Q'), F.col("name"),
+                             F.lit('\\E(?=")')),
+                    F.regexp_replace(F.col("p_symbol"),
+                                     "([\\\\$])", "\\\\$1"),
                 ),
             ).otherwise(F.col("bel")),
         )

@@ -150,9 +150,22 @@ def run_pipeline(
             src = R.repair_sources(src)
         if dedup_source:
             src = src.dropDuplicates(["file_sha"])
-        if resume and _exists(spark, lineage_path):
-            done = spark.read.parquet(lineage_path).select("file_sha")
+        # the resume anti-join keys on the PARSED STORE itself (column
+        # pruning keeps the scan one sha column wide), not the lineage
+        # table: a crash between the parsed append and the lineage
+        # overwrite would leave lineage stale, and a lineage-keyed resume
+        # would then re-append the same files — duplicating every
+        # downstream count.  The store is the source of truth for what
+        # was parsed; lineage is a derived report.
+        if resume and _exists(spark, parsed_path):
+            done = spark.read.parquet(parsed_path).select("file_sha")
             todo = src.join(done, "file_sha", "left_anti")
+        elif _exists(spark, parsed_path):
+            raise ValueError(
+                f"parsed store already exists at {parsed_path}; pass "
+                "resume=True to continue it or choose a fresh out_dir "
+                "(appending a second full run would duplicate file_sha "
+                "rows and double-count all downstream tables)")
         else:
             todo = src
         parsed_new = P.parse_sources(
@@ -183,7 +196,13 @@ def run_pipeline(
             F.sum(F.when(F.col("status") == "parsed_ok",
                          F.col("n_statements")).otherwise(0)).alias("n_stmt_ok"),
         )
-        lineage.write.mode("overwrite").parquet(lineage_path)
+        if output_format == "iceberg" and catalog:
+            # MERGE keyed on file_sha: unchanged rows keep their data
+            # files (snapshot isolation, no directory rewrite) — the
+            # resume primitive at 10^12-file scale
+            S.upsert_lineage(spark, lineage, catalog, run_id=run_id)
+        else:
+            lineage.write.mode("overwrite").parquet(lineage_path)
         lin = obs_lineage.get
         metrics["n_files"] = lin["n_files"]
         metrics["n_statements"] = int(lin["n_statements"] or 0)
@@ -359,8 +378,9 @@ def run_pipeline(
             fmt=output_format, catalog=catalog)
         metrics["n_nodes"] = obs_nodes.get["n"]
 
+    # SUM over an empty store observes null, not 0
     metrics["n_valid_files"] = (
-        lin["n_ok"] if mode != "strict" else valid_files.count())
+        int(lin["n_ok"] or 0) if mode != "strict" else valid_files.count())
     metrics["wall_s"] = round(time.time() - t_total, 3)
 
     for _df in _persisted:

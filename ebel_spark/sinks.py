@@ -71,10 +71,14 @@ def write_table(
             from pyspark.sql import functions as F
             wt = wt.partitionedBy(F.col(partition_by))
         if mode == "append":
-            # append requires the table to exist; first writer creates it
-            try:
+            # append requires the table to exist; first writer creates
+            # it.  Existence is probed explicitly: a try/except around
+            # append() would swallow REAL append failures (schema
+            # mismatch, catalog hiccup) and re-raise as a bogus
+            # "table already exists" from create().
+            if spark.catalog.tableExists(table):
                 wt.append()
-            except Exception:
+            else:
                 wt.create()
         else:
             wt.createOrReplace()
@@ -87,19 +91,29 @@ def upsert_lineage(
     lineage: DataFrame,
     catalog: str,
     table: str = "lineage",
+    run_id: str = "run",
 ) -> None:
     """MERGE the per-file lineage rows into the Iceberg lineage table —
     the resume primitive at 10^12-file scale (replaces the parquet
-    overwrite, which would rewrite the whole table every run)."""
+    overwrite, which would rewrite the whole table every run).  Creates
+    the table on first use; the staging view is run-scoped so concurrent
+    pipelines on one session never collide, and dropped afterwards."""
     target = f"{catalog}.{table}"
-    lineage.createOrReplaceTempView("_lineage_updates")
-    spark.sql(f"""
-        MERGE INTO {target} t
-        USING _lineage_updates s
-        ON t.file_sha = s.file_sha
-        WHEN MATCHED THEN UPDATE SET *
-        WHEN NOT MATCHED THEN INSERT *
-    """)
+    if not spark.catalog.tableExists(target):
+        lineage.writeTo(target).create()
+        return
+    view = f"_lineage_updates_{run_id}"
+    lineage.createOrReplaceTempView(view)
+    try:
+        spark.sql(f"""
+            MERGE INTO {target} t
+            USING {view} s
+            ON t.file_sha = s.file_sha
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def write_bucketed(

@@ -109,7 +109,12 @@ def stream_user_sessions(
                     s = last = t
                     n = 1
                 else:
-                    last = t
+                    # a LATE cross-batch event (within the watermark) may
+                    # carry t < last or even t < s; the session bounds
+                    # must only ever widen — `last = t` would move the
+                    # end backwards and mis-split on the next event
+                    last = max(last, t)
+                    s = min(s, t)
                     n += 1
             if s is not None:
                 state.update((s, last, n))
@@ -432,9 +437,14 @@ def stream_graph_upsert(
         parsed = P.parse_sources(batch_df).filter("ok")
         new_edges = G.materialize_edges(P.statements_table(parsed))
         new_nodes = G.materialize_nodes(P.nodes_table(parsed))
+        # gate each merge on ITS OWN path: a crash between the edges and
+        # nodes writes below leaves edges present but nodes absent, and a
+        # single edges-gated check would then throw PATH_NOT_FOUND on
+        # every foreachBatch retry — bricking the stream permanently
         if _path_exists(spark, edges_path):
             new_edges = _merge_edges(spark.read.parquet(edges_path),
                                      new_edges)
+        if _path_exists(spark, nodes_path):
             new_nodes = _merge_nodes(spark.read.parquet(nodes_path),
                                      new_nodes)
         new_edges.localCheckpoint(eager=True) \

@@ -72,6 +72,28 @@ class TestPipelineE2E:
         assert (got.select("edge_id").exceptAll(ref.select("edge_id"))
                 .count() == 0)
 
+    def test_resume_survives_stale_lineage(self, spark, out,
+                                            tmp_path_factory):
+        """Crash-window claim: the resume anti-join keys on the PARSED
+        STORE, so a crash after the parsed append but before the lineage
+        overwrite (simulated by deleting lineage) must not re-append —
+        file_sha stays unique in the store."""
+        import shutil
+        out_dir = str(tmp_path_factory.mktemp("belout_stale"))
+        src = out["src"]
+        half = src.filter(F.crc32(F.col("path")) % 2 == 0)
+        run_pipeline(spark, half, out_dir, run_id="s1")
+        shutil.rmtree(out_dir + "/lineage")   # lineage lost mid-crash
+        m2 = run_pipeline(spark, src, out_dir, resume=True, run_id="s2")
+        parsed = spark.read.parquet(out_dir + "/parsed")
+        assert parsed.count() == 20
+        assert parsed.select("file_sha").distinct().count() == 20
+        assert m2["n_triples"] == out["metrics"]["n_triples"]
+
+    def test_fresh_run_into_existing_store_refuses(self, spark, out):
+        with pytest.raises(ValueError, match="resume"):
+            run_pipeline(spark, out["src"], out["dir"], run_id="t3")
+
     def test_node_ids_consistent_between_tables(self, spark, out):
         nodes = spark.read.parquet(out["dir"] + "/nodes")
         edges = spark.read.parquet(out["dir"] + "/edges")

@@ -336,6 +336,54 @@ class TestLinking:
         atp = rows[("abundance", "ATP")]
         assert atp.chebi is not None
 
+    def test_location_struct_bandless_matches_reference(self, spark):
+        # reference-faithful quirk (hgnc.py:241): band-less locations
+        # parse to chromosome only — arm/region require a .band suffix
+        import ebel_spark.link as L2
+        df = spark.createDataFrame(
+            [("19q13",), ("Xq28",), ("19q13.43",), ("weird!",)], ["loc"])
+        got = {r.loc: r.s for r in df.select(
+            "loc", L2.location_struct_col(F.col("loc")).alias("s")
+        ).collect()}
+        assert got["19q13"].chromosome == "19"
+        assert got["19q13"].arm is None and got["19q13"].region is None
+        assert got["Xq28"].chromosome == "X" and got["Xq28"].arm is None
+        assert got["19q13.43"] == ("19", "q", 13, 43, None)
+        assert got["weird!"].unknown_schema == "weird!"
+
+    def test_prev_symbol_regex_metachars_and_determinism(self, spark):
+        # 1) a prev symbol with a regex metachar ('.' as in legacy
+        #    NKX2.5-style names) must be patched literally, and must not
+        #    rewrite a node whose name differs only at that position;
+        # 2) two current symbols sharing a prev symbol must correct to
+        #    the deterministic min symbol on every run
+        hgnc = spark.createDataFrame(
+            [("NEWA", "a label", "1p36.1", ["OLD.X"]),
+             ("NEWB", "b label", "2q14.3", ["SHARED"]),
+             ("NEWC", "c label", "3p21.2", ["SHARED"])],
+            ["symbol", "label", "location", "prev_symbols"])
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE HGNC AS URL "http://x/h.belns"\n'
+            'SET Citation = {"PubMed", "T", "1"}\n'
+            'p(HGNC:"OLD.X") increases p(HGNC:"OLDYX")\n'
+            'p(HGNC:"SHARED") increases p(HGNC:"OLD.X")\n'
+        )
+        src = _source_df(spark, [bel])
+        nodes = G.materialize_nodes(
+            P.nodes_table(P.parse_sources(src)))
+        linked = {r.name: r for r in L.link_hgnc(nodes, hgnc).collect()}
+        assert linked["NEWA"].name_corrected == "OLD.X"
+        assert linked["NEWA"].bel == 'p(HGNC:"NEWA")'
+        # 'OLDYX' matches 'OLD.X' only if the dot is a regex wildcard
+        assert "OLDYX" in linked and linked["OLDYX"].hgnc_symbol is None
+        assert linked["OLDYX"].bel == 'p(HGNC:"OLDYX")'
+        for _ in range(3):
+            again = {r.name: r for r in
+                     L.link_hgnc(nodes, hgnc).collect()}
+            assert again["NEWB"].name_corrected == "SHARED"  # min symbol
+            assert "NEWC" not in again
+
 
 class TestPageRank:
     def test_matches_numpy_power_iteration(self, spark):

@@ -112,6 +112,53 @@ class TestStreaming:
         assert got == {(1, 1000, 1010, 2), (1, 6000, 6000, 1),
                        (2, 1000, 1000, 1)}
 
+    def test_late_event_never_shrinks_session(self, spark, tmp_path):
+        """A late (within-watermark) cross-batch event must only WIDEN the
+        open session: with `last = t` (the r3 review bug) the late t=1500
+        would drag session_end back from 2000 and the t=3400 event would
+        mis-split; the batch twin sees one session (1000..3400, 4)."""
+        import time
+        import pandas as pd
+        from ebel_spark.streaming import stream_user_sessions
+
+        src = str(tmp_path / "ev")
+        sch = "user_id bigint, ts timestamp, event_id bigint"
+        b1 = pd.DataFrame({
+            "user_id": [1, 1],
+            "ts": pd.to_datetime([1000, 2000], unit="s"),
+            "event_id": [1, 2],
+        })
+        spark.createDataFrame(b1, sch).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        time.sleep(1.1)
+        b2 = pd.DataFrame({   # 1500 is LATE but within the 2h watermark
+            "user_id": [1, 1],
+            "ts": pd.to_datetime([1500, 3400], unit="s"),
+            "event_id": [3, 4],
+        })
+        spark.createDataFrame(b2, sch).coalesce(1) \
+            .write.mode("append").parquet(src)
+        time.sleep(1.1)
+        b3 = pd.DataFrame({   # watermark pusher flushes user 1
+            "user_id": [2],
+            "ts": pd.to_datetime([500000], unit="s"),
+            "event_id": [5],
+        })
+        spark.createDataFrame(b3, sch).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+        stream = (spark.readStream.schema(sch)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        sessions = stream_user_sessions(stream, gap=1800,
+                                        watermark="2 hours")
+        q = (sessions.writeStream.format("memory").queryName("sess_late")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        got = {(r.user_id, r.session_start, r.session_end, r.n_events)
+               for r in spark.table("sess_late").collect()}
+        assert (1, 1000, 3400, 4) in got
+
     def test_stream_interval_join_matches_batch(self, spark, tmp_path):
         from ebel_spark.streaming import stream_interval_join
 
