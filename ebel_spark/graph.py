@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .belc.vocab import (
+    EDGE_CATEGORY_PARENTS,
     GENE_LIKE_CLASSES,
     INVOLVED_GENES_EDGES,
     INVOLVED_OTHER_EDGES,
@@ -67,7 +68,11 @@ def edge_key_col(relation, subj, obj, ctype, cref, evidence, anno_flat):
         F.coalesce(ctype, F.lit(_NULL)),
         F.coalesce(cref, F.lit(_NULL)),
         F.coalesce(F.regexp_replace(evidence, "\n", " "), F.lit("")),
-        anno_flat,
+        # concat_ws SKIPS null args (field AND separator vanish), which
+        # would collapse the 7-tuple to an ambiguous 6-tuple for a NULL
+        # annotation map; the twin edge_profile always joins 7 fields
+        # (None -> empty, same as an empty map)
+        F.coalesce(anno_flat, F.lit("")),
     )
     return F.substring(F.sha2(raw, 256), 1, 32)
 
@@ -492,26 +497,25 @@ def count_nodes_by_class(nodes: DataFrame) -> dict:
     return out
 
 
+# derived from the ONE relation registry (belc.vocab.EDGE_CATEGORY_PARENTS)
+# so a relation added there automatically gets its polymorphic rollup here;
+# the intermediate ebel classes (odb_structure.py:438-459) follow from the
+# relation's name shape (has_modified_*/has_variant_*/has_located_* — the
+# structural has__* double-underscore relations never match those prefixes)
 _EDGE_ANCESTORS: dict[str, tuple[str, ...]] = {}
 for _rel, _cat in RELATION_CATEGORY.items():
     _EDGE_ANCESTORS[_rel] = (_rel, _cat, "bel_relation")
-for _rel in (
-    "has__protein", "has__rna", "has__gene", "has__abundance",
-    "has__population", "has__location", "has__from_location",
-    "has__to_location", "has__fragment", "has__pmod", "has__gmod",
-    "has__complex", "has__micro_rna", "has__variant", "has__reactants",
-    "has__products", "has__composite", "has_fragmented_protein",
-):
-    _EDGE_ANCESTORS[_rel] = (_rel, "ebel_relation")
-for _rel in ("has_modified_protein", "has_modified_gene"):
-    _EDGE_ANCESTORS[_rel] = (_rel, "has_modified", "ebel_relation")
-for _rel in ("has_variant_gene", "has_variant_rna", "has_variant_protein",
-             "has_variant_micro_rna"):
-    _EDGE_ANCESTORS[_rel] = (_rel, "has_variant_obj", "ebel_relation")
-for _rel in ("has_located_gene", "has_located_rna", "has_located_protein",
-             "has_located_micro_rna", "has_located_complex",
-             "has_located_abundance", "has_located_population"):
-    _EDGE_ANCESTORS[_rel] = (_rel, "has_located", "ebel_relation")
+for _rel, _parent in EDGE_CATEGORY_PARENTS.items():
+    if _parent != "ebel":
+        continue
+    if _rel.startswith("has_modified_"):
+        _EDGE_ANCESTORS[_rel] = (_rel, "has_modified", "ebel_relation")
+    elif _rel.startswith("has_variant_"):
+        _EDGE_ANCESTORS[_rel] = (_rel, "has_variant_obj", "ebel_relation")
+    elif _rel.startswith("has_located_"):
+        _EDGE_ANCESTORS[_rel] = (_rel, "has_located", "ebel_relation")
+    else:
+        _EDGE_ANCESTORS[_rel] = (_rel, "ebel_relation")
 
 _ALL_EDGE_CLASSES = sorted(
     {"bel_relation", "causal", "correlative", "genomic", "other",
@@ -559,6 +563,9 @@ def pagerank(
         .transform(cut_lineage)
     )
     n = nodes.count()
+    if n == 0:
+        # an empty edge frame has no nodes; 1.0/n below would raise
+        return nodes.select("bel", F.lit(0.0).alias("rank"))
     outdeg = e.groupBy("u").agg(F.count(F.lit(1)).alias("odeg"))
     # rank rows carry odeg so the dangling reduce and the contribution
     # join both run off one cached frame per iteration
@@ -1062,6 +1069,14 @@ def path_query(
         if nodes is None:
             raise ValueError(
                 "name/namespace/bel node specs need the nodes dimension")
+        if (spec.get("name") and not spec.get("namespace")
+                and spec.get("node_class") not in GENE_LIKE_CLASSES
+                and "involved_genes" not in nodes.columns):
+            raise ValueError(
+                "a name-only spec without a gene/rna/protein class filters "
+                "on involved_genes/involved_other membership (bel.py:920-"
+                "960); pass the involved_rollup-enriched nodes table — the "
+                "plain materialize_nodes output lacks those columns")
         return nodes.filter(_node_spec_pred(spec)).select("bel").distinct()
 
     # start constraint on the subject of hop 1

@@ -85,7 +85,7 @@ class Dimensions:
 
 def build_dimensions(
     n_hgnc: int = 5000, n_chebi: int = 2000, n_go: int = 1000,
-    n_missing: int = 200, seed: int = SEED,
+    n_missing: int = 200, n_gocc: int = 200, seed: int = SEED,
 ) -> Dimensions:
     rng = random.Random(seed)
 
@@ -96,7 +96,7 @@ def build_dimensions(
     gobp_names = list(FIXTURE_GOBP)
     gobp_names += [f"go process {i:04d}" for i in range(n_go - len(gobp_names))]
     gocc_names = list(FIXTURE_GOCC)
-    gocc_names += [f"go component {i:04d}" for i in range(200)]
+    gocc_names += [f"go component {i:04d}" for i in range(n_gocc)]
 
     # reserved names that are NEVER in the dictionaries (-> URL errors)
     missing = {

@@ -49,10 +49,16 @@ _EVIDENCE_BLOCK_RE = re.compile(
 
 
 def repair_relation_terms(content: str) -> str:
-    """validate.py:196-222: plain replaces, longest-first for the nested
-    spellings (has_components before has_component)."""
-    for ebel_term, bel_term in sorted(EBEL_TO_BEL_RELATIONS.items(),
-                                      key=lambda kv: -len(kv[0])):
+    """validate.py:196-222: plain replaces in the reference's DICT
+    INSERTION ORDER — parity demands it: the reference replaces
+    'biomarker_for' before 'prognostic_biomarker_for', so the latter
+    becomes 'prognostic_biomarkerFor' (still unparseable) rather than
+    the valid 'prognosticBiomarkerFor' a longest-first order would give.
+    Repaired-corpus statement/error counts must match the reference
+    bug-for-bug.  (The prefix spellings — has_component(s)/has_member(s)
+    — come out identical either way: replacing the prefix leaves the
+    trailing 's' intact.)"""
+    for ebel_term, bel_term in EBEL_TO_BEL_RELATIONS.items():
         content = content.replace(ebel_term, bel_term)
     return content
 
@@ -77,10 +83,10 @@ def repair_content(content: str) -> str:
 
 
 def repair_relations(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """JVM-side relation-term repair (codegen chain of literal replaces)."""
+    """JVM-side relation-term repair (codegen chain of literal replaces),
+    in the same reference insertion order as repair_relation_terms."""
     col = F.col(content_col)
-    for ebel_term, bel_term in sorted(EBEL_TO_BEL_RELATIONS.items(),
-                                      key=lambda kv: -len(kv[0])):
+    for ebel_term, bel_term in EBEL_TO_BEL_RELATIONS.items():
         col = F.replace(col, F.lit(ebel_term), F.lit(bel_term))
     return df.withColumn(content_col, col)
 

@@ -19,8 +19,6 @@ All error rows match the reference report columns
 
 from __future__ import annotations
 
-from urllib.parse import quote_plus, urlencode
-
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -77,30 +75,59 @@ def list_membership_errors(entries: DataFrame, defs: DataFrame) -> DataFrame:
 
 def pattern_errors(entries: DataFrame, defs: DataFrame) -> DataFrame:
     """NotInNamespacePattern / NotInAnnotationPattern
-    (transformers.py:959-989: search with '^'+regex+'$')."""
+    (transformers.py:959-989: search with '^'+regex+'$').
+
+    Per-file containment: the reference re.compile simply raises on a
+    malformed PATTERN (it validates one file per process); in a corpus
+    job one bad regex must not fail the executor task 4 times and kill
+    the whole run.  Distinct pattern strings (vocabulary-sized, like the
+    reference's definitions table) are pre-compiled driver-side against
+    the SAME java.util.regex engine rlike uses; entries under an invalid
+    pattern are reported as pattern errors with an explanatory hint
+    instead of being evaluated."""
     pat_defs = defs.filter(F.col("def_type") == "PATTERN").select(
         "file_sha", "kind", "keyword", F.col("value").alias("pattern")
     )
     joined = entries.join(pat_defs, ["file_sha", "kind", "keyword"])
-    bad = joined.filter(
+
+    spark = entries.sparkSession
+    jvm = spark.sparkContext._jvm
+    invalid = []
+    for r in pat_defs.select("pattern").distinct().collect():
+        try:
+            jvm.java.util.regex.Pattern.compile(r.pattern)
+        except Exception:
+            invalid.append(r.pattern)
+
+    checkable = joined
+    broken = None
+    if invalid:
+        checkable = joined.filter(~F.col("pattern").isin(invalid))
+        broken = (
+            joined.filter(F.col("pattern").isin(invalid))
+            .withColumn("url", F.lit(None))
+            .withColumn("hint", F.concat(
+                F.lit("invalid PATTERN regex: "), F.col("pattern")))
+        )
+    bad = checkable.filter(
         ~F.expr("entry rlike concat('^', pattern, '$')")
     )
     bad = bad.withColumn("url", F.lit(None)).withColumn("hint", F.lit(None))
+    if broken is not None:
+        bad = bad.unionByName(broken)
     return _report(
         bad, _cls(F.col("kind"), "NotInNamespacePattern", "NotInAnnotationPattern")
     )
 
 
 def _ols_hint(entry_col):
-    # models.py:233-235
+    # models.py:233-235: urlencode({'q': entry}, quote_via=quote_plus).
+    # F.url_encode IS application/x-www-form-urlencoded (space -> +,
+    # every reserved char percent-escaped), so entries with +/&/()/'
+    # (CHEBI names have them) produce a correct search URL.
     return F.concat(
-        F.lit("[OLS suggests](https://www.ebi.ac.uk/ols/search?"),
-        F.lit("q="),
-        # urlencode({'q': entry}, quote_via=quote_plus) equivalent for the
-        # common character set
-        F.regexp_replace(
-            F.regexp_replace(F.col(entry_col), r"%", "%25"), r" ", "+"
-        ),
+        F.lit("[OLS suggests](https://www.ebi.ac.uk/ols/search?q="),
+        F.url_encode(F.col(entry_col)),
         F.lit(")"),
     )
 
@@ -144,18 +171,32 @@ def url_membership_errors(
     if not with_hints:
         out = misses.withColumn("hint", _ols_hint("entry"))
     else:
-        distinct_misses = misses.select("kind", "keyword", "entry").distinct()
+        # the miss set feeds THREE hint subtrees plus the final join —
+        # persist the (tiny, distinct-triple) frame so the hot anti-join
+        # above runs once per action, not four times.  ContextCleaner
+        # unpersists it once the query's references are gone.
+        from pyspark import StorageLevel
+        distinct_misses = (
+            misses.select("kind", "keyword", "entry").distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
 
-        # 1) exact-name matches under any keyword (models.py:204-212).
-        #    Inner join (BroadcastHashJoin on (kind, entry)); non-matching
-        #    misses must not ride through a left join into the groupBy —
-        #    the final hints frame left-joins the aggregate back anyway.
+        # 1) exact-name matches under any keyword (models.py:204-212):
+        #    the reference's SQL `name LIKE entry` with no wildcard is a
+        #    CASE-INSENSITIVE equality under MySQL/SQLite collation, so
+        #    the join compares lowercased names.  (The reference appends
+        #    the namespace "(url)" to each alternative; the offline
+        #    synthetic dims carry no URL registry, a documented delta.)
+        #    Inner join (BroadcastHashJoin); non-matching misses must not
+        #    ride through a left join into the groupBy — the final hints
+        #    frame left-joins the aggregate back anyway.
         exact = distinct_misses.join(
             F.broadcast(dictionary.select(
                 F.col("kind").alias("d_kind"), F.col("keyword").alias("d_kw"),
                 F.col("name").alias("d_name"),
             )),
-            (F.col("kind") == F.col("d_kind")) & (F.col("entry") == F.col("d_name")),
+            (F.col("kind") == F.col("d_kind"))
+            & (F.lower(F.col("entry")) == F.lower(F.col("d_name"))),
             "inner",
         ).groupBy("kind", "keyword", "entry").agg(
             F.sort_array(F.collect_set(

@@ -222,6 +222,16 @@ class TestPathQuery:
         got = G.path_query(chain, min_len=2, max_len=3)
         assert {r.path_len for r in got.collect()} == {2, 3}
 
+    def test_name_only_spec_needs_rollup_columns(self, spark, chain):
+        # a name-only non-genic spec filters on involved_* membership;
+        # a plain nodes table (no rollup) must raise a clear error, not
+        # an AnalysisException deep in the join DAG
+        plain = spark.createDataFrame(
+            [("a", "protein", "HGNC", "A")],
+            "bel string, node_class string, namespace string, name string")
+        with pytest.raises(ValueError, match="involved_rollup"):
+            G.path_query(chain, plain, start={"name": "A"})
+
     def test_last_differs_from_first_only(self, spark):
         # triangle a->b->a: length-2 path a,b,a must be dropped (last ==
         # first) but a,b + b,a survive as length-1 paths

@@ -19,6 +19,14 @@ class TestRepairContent:
         assert repair_relation_terms("x has_component y") == "x hasComponent y"
         assert repair_relation_terms("x positive_correlation y") == "x pos y"
 
+    def test_prognostic_biomarker_matches_reference_order(self):
+        # the reference replaces 'biomarker_for' first (dict insertion
+        # order), so the longer spelling comes out half-repaired — still
+        # invalid BEL, and parity requires reproducing exactly that
+        assert repair_relation_terms(
+            "x prognostic_biomarker_for y"
+        ) == "x prognostic_biomarkerFor y"
+
     def test_snake_relation_parses_clean_after_repair(self):
         bel = HEADER + "p(HGNC:A) directly_increases p(HGNC:B)\n"
         before = process_file(bel)

@@ -275,6 +275,73 @@ class TestValidation:
             ("NotInNamespaceList", "other"),
         }
 
+    def test_invalid_pattern_regex_contained_per_file(self, spark, dims):
+        # one malformed PATTERN regex must yield error rows, not fail the
+        # executor task and kill the corpus job (parse.py doctrine)
+        bad = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE BROKEN AS PATTERN "["\n'
+            'g(BROKEN:rs123) -> g(BROKEN:rs456)\n'
+        )
+        ok = (
+            'SET DOCUMENT Name = "t2"\n'
+            'DEFINE NAMESPACE dbSNP AS PATTERN "rs[0-9]+"\n'
+            'g(dbSNP:rs123) -> g(dbSNP:xx999)\n'
+        )
+        src = _source_df(spark, [bad, ok])
+        parsed = P.parse_sources(src)
+        errors = V.semantic_errors(
+            P.entries_table(parsed), P.definitions_table(parsed),
+            dims["ns_dict"], dims["anno_dict"],
+        ).collect()
+        got = {(e.error_class, e.entry) for e in errors}
+        # the valid pattern in the OTHER file still validates normally
+        assert ("NotInNamespacePattern", "xx999") in got
+        # every entry under the broken pattern is reported, with a hint
+        broken = [e for e in errors if e.entry in ("rs123", "rs456")
+                  and e.error_class == "NotInNamespacePattern"]
+        assert {e.entry for e in broken} >= {"rs456"}
+        assert all("invalid PATTERN regex" in (e.hint or "")
+                   for e in broken)
+
+    def test_ols_hint_urlencodes_reserved_chars(self, spark, dims):
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE CHEBI AS URL "http://x/c.belns"\n'
+            'a(CHEBI:"no+such&chem (x)") -> a(CHEBI:ATP)\n'
+        )
+        src = _source_df(spark, [bel])
+        parsed = P.parse_sources(src)
+        errors = V.semantic_errors(
+            P.entries_table(parsed), P.definitions_table(parsed),
+            dims["ns_dict"], dims["anno_dict"],
+        ).collect()
+        from urllib.parse import quote_plus, urlencode
+        by_entry = {e.entry: e for e in errors}
+        miss = by_entry["no+such&chem (x)"]
+        want = urlencode({"q": "no+such&chem (x)"}, quote_via=quote_plus)
+        # models.py:233-235 parity: quote_plus encoding, byte-for-byte
+        assert miss.hint == (
+            f"[OLS suggests](https://www.ebi.ac.uk/ols/search?{want})")
+
+    def test_exact_alternative_hint_is_case_insensitive(self, spark, dims):
+        # reference models.py:204-212 uses SQL LIKE (case-insensitive
+        # under MySQL/SQLite collation): 'atp' must hint CHEBI:"ATP"
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE HGNC AS URL "http://x/h.belns"\n'
+            'p(HGNC:atp) -> p(HGNC:CD33)\n'
+        )
+        src = _source_df(spark, [bel])
+        parsed = P.parse_sources(src)
+        errors = V.semantic_errors(
+            P.entries_table(parsed), P.definitions_table(parsed),
+            dims["ns_dict"], dims["anno_dict"],
+        ).collect()
+        by_entry = {e.entry: e for e in errors}
+        assert by_entry["atp"].hint.startswith("Did you mean: ")
+        assert 'CHEBI:"ATP"' in by_entry["atp"].hint
+
     def test_ambiguity_warning(self, spark):
         bel = (
             'SET DOCUMENT Name = "t"\n'
@@ -414,3 +481,10 @@ class TestPageRank:
         for name in nodes:
             assert abs(got[name] - r[idx[name]]) < 1e-9, name
         assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_empty_edges_returns_empty(self, spark):
+        from ebel_spark.graph import pagerank
+        e = spark.createDataFrame([], "u string, v string")
+        got = pagerank(e, iters=3)
+        assert got.columns == ["bel", "rank"]
+        assert got.count() == 0
