@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..graph import cut_lineage
 
-from .text import shingles, tokens, with_shingles
+from .text import _kgram_hashes_from_tokens, shingles, tokens, with_shingles
 
 
 #: every _pin'd frame, so a long-lived session can release them between
@@ -510,6 +510,108 @@ def dup_shingle_stats(
                        F.coalesce(F.col("n_dup"), F.lit(0))
                        / F.col("n_shingles")).otherwise(F.lit(0.0)),
                 6).alias("dup_fraction"))
+    )
+
+
+def dup_span_stats(
+    df: DataFrame, id_col: str, text_col: str,
+    span_len: int = 8, min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection: which token positions of each
+    document sit inside a `span_len`-token run that also occurs verbatim
+    in >= `min_docs` distinct documents (the span-level exact-substring
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — their suffix-array pass re-expressed as positional
+    k-gram relational algebra; a 50-token shared substring is covered by
+    its length-`span_len` sub-grams, so coverage is identical for any
+    shared run >= span_len while needing no global suffix array).
+
+    Complements the doc-LEVEL ops: MinHash/SimHash answer "is this doc a
+    near-copy", `repetition_ratios` answers "does this doc repeat
+    itself", this answers "WHICH token spans are boilerplate shared
+    across the corpus" — the signal used to cut duplicated spans out of
+    training examples rather than dropping whole documents.
+
+    Per doc: `n_dup_spans` (duplicated gram occurrences), `n_dup_tokens`
+    (distinct covered token positions), `n_dup_regions` (merged maximal
+    covered intervals), `dup_token_fraction`.  Docs shorter than
+    `span_len` contribute their whole token string as one pseudo-span at
+    position 0 (mirroring `shingles`' degenerate case), so two identical
+    short docs still flag each other.
+
+    Shape at 100 TB: grams travel as xxhash64 values, never strings
+    (~8 bytes/gram on the wire; a 64-bit collision merging two distinct
+    grams is ~n^2/2^65 — immaterial for a coverage statistic).  One
+    inverted-index shuffle (gram -> distinct-doc count, two-phase partial
+    agg), one equi-join back on the gram hash, then per-document
+    aggregation whose state is bounded by the document's own token count
+    (same bound as holding the text).  Hot boilerplate grams skew only a
+    count and an equi-join probe — no pair blowup exists anywhere.
+    """
+    base = _pin(
+        df.select(F.col(id_col).alias("id"),
+                  tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "id", F.size("__toks").alias("n_tokens"),
+            _kgram_hashes_from_tokens(F.col("__toks"), span_len)
+            .alias("__ghs"),
+        ))
+    posting = base.select(
+        "id", "n_tokens", F.posexplode("__ghs").alias("start", "gh"))
+    dup_ghs = (
+        posting.groupBy("gh")
+        .agg(F.count_distinct("id").alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gh")
+    )
+    dup = posting.join(dup_ghs, "gh")
+    nspans = dup.groupBy("id").agg(F.count("*").alias("n_dup_spans"))
+    # covered positions: a degenerate whole-doc pseudo-span covers all
+    # n_tokens positions, a regular gram covers span_len — least() unifies
+    cov = (
+        dup.select("id", F.explode(F.sequence(
+            F.col("start"),
+            F.col("start")
+            + F.least(F.lit(span_len), F.col("n_tokens")) - 1,
+        )).alias("pos"))
+        .dropDuplicates(["id", "pos"])
+    )
+    covstats = (
+        cov.groupBy("id")
+        .agg(F.count("*").alias("n_dup_tokens"),
+             F.sort_array(F.collect_list("pos")).alias("__ps"))
+        # merged-interval count: positions whose predecessor is uncovered
+        # start a region; single interpreted-HOF pass over the per-doc
+        # covered-position array (bounded by doc length)
+        .withColumn("n_dup_regions", F.aggregate(
+            F.col("__ps"),
+            F.struct(F.lit(-2).alias("prev"), F.lit(0).alias("cnt")),
+            lambda acc, p: F.struct(
+                p.alias("prev"),
+                (acc.cnt + F.when(p > acc.prev + 1, 1).otherwise(0))
+                .alias("cnt")),
+            lambda acc: acc.cnt))
+        .drop("__ps")
+    )
+    return (
+        base.select("id", "n_tokens")
+        .join(nspans, "id", "left")
+        .join(covstats, "id", "left")
+        .select(
+            "id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint")
+            .alias("n_dup_spans"),
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("bigint")
+            .alias("n_dup_tokens"),
+            F.coalesce(F.col("n_dup_regions"), F.lit(0)).cast("bigint")
+            .alias("n_dup_regions"),
+            F.round(
+                F.when(F.col("n_tokens") > 0,
+                       F.coalesce(F.col("n_dup_tokens"), F.lit(0))
+                       / F.col("n_tokens")).otherwise(F.lit(0.0)),
+                6).alias("dup_token_fraction"),
+        )
     )
 
 

@@ -966,6 +966,70 @@ def doc_dup_shingle_fraction(spark, sf_dir):
                                min_docs=2)
 
 
+@q("doc_dup_spans", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), base AS (
+  SELECT doc_id, len(ts) AS n_tokens, ts FROM toks
+), sp AS (
+  SELECT doc_id, n_tokens,
+         unnest(CASE WHEN n_tokens >= 8 THEN
+                  list_transform(range(n_tokens - 7),
+                    i -> struct_pack(s := i,
+                           gr := array_to_string(ts[i+1:i+8], ' ')))
+                WHEN n_tokens > 0 THEN
+                  [struct_pack(s := 0, gr := array_to_string(ts, ' '))]
+                ELSE [] END) AS g
+  FROM base
+), spans AS (
+  SELECT doc_id, n_tokens, g.s AS start, g.gr AS gram FROM sp
+), dfreq AS (
+  SELECT gram FROM spans GROUP BY gram
+  HAVING count(DISTINCT doc_id) >= 2
+), dup AS (
+  SELECT s.doc_id, s.n_tokens, s.start FROM spans s JOIN dfreq USING (gram)
+), nspans AS (
+  SELECT doc_id, count(*) AS n_dup_spans FROM dup GROUP BY doc_id
+), cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, start + unnest(range(least(8, n_tokens))) AS pos
+    FROM dup)
+), covn AS (
+  SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id
+), regions AS (
+  SELECT c.doc_id, count(*) AS n_dup_regions
+  FROM cov c LEFT JOIN cov p
+    ON c.doc_id = p.doc_id AND c.pos = p.pos + 1
+  WHERE p.pos IS NULL GROUP BY c.doc_id
+)
+SELECT b.doc_id AS id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(n.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(cv.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       CAST(coalesce(r.n_dup_regions, 0) AS BIGINT) AS n_dup_regions,
+       round(CASE WHEN b.n_tokens > 0
+             THEN coalesce(cv.n_dup_tokens, 0) * 1.0 / b.n_tokens
+             ELSE 0.0 END, 6) AS dup_token_fraction
+FROM base b
+LEFT JOIN nspans n USING (doc_id)
+LEFT JOIN covn cv USING (doc_id)
+LEFT JOIN regions r USING (doc_id)
+""")
+def doc_dup_spans(spark, sf_dir):
+    """Span-level exact-substring dedup (Lee et al. 2022): per document,
+    which token positions lie inside an 8-token run repeated verbatim in
+    >= 2 distinct documents — covered-token count, merged duplicate
+    regions, and the cut-this-span training-data signal
+    (ops/dedup.dup_span_stats).  The oracle re-derives coverage from gram
+    STRINGS while Spark ships xxhash64 values, so the twin also guards
+    the hash path against collisions at this scale."""
+    d = _tw(spark, sf_dir, "documents")
+    return D.dup_span_stats(d, "doc_id", "text", span_len=8, min_docs=2)
+
+
 @q("doc_bpe_token_counts", """
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
@@ -3375,7 +3439,8 @@ _FRONT = [
     # representative coverage of the remaining families (the rest of the
     # r2-green demos — pricing_summary, events_asof_join, doc_exact_dups,
     # stream_user_sessions, … — stand on their CORRECTNESS_r02 rows)
-    "doc_dup_clusters", "doc_training_manifest", "doc_lang_quality",
+    "doc_dup_spans",
+    "doc_training_manifest", "doc_lang_quality",
 ]
 
 

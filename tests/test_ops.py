@@ -422,6 +422,49 @@ class TestEditDistance:
         assert abs(out[1].dup_fraction - 0.5) < 1e-9
         assert out[3].n_dup_shingles == 0 and out[3].dup_fraction == 0.0
 
+    def test_dup_span_stats(self, spark):
+        rows = [
+            # docs 1/2 share the 6-token run "alpha beta gamma delta
+            # epsilon zeta" -> with span_len=3 it decomposes into 4 dup
+            # grams covering one merged region of 6 positions
+            (1, "alpha beta gamma delta epsilon zeta unique1 unique2"),
+            (2, "prefix words here alpha beta gamma delta epsilon zeta "
+                "trailer"),
+            # no shared grams at all
+            (3, "nothing shared at all in this text"),
+            # two SEPARATED shared runs -> 2 merged regions
+            (4, "alpha beta gamma filler1 filler2 delta epsilon zeta"),
+            # within-doc repetition only: repeated grams live in ONE doc,
+            # so min_docs=2 distinct docs must NOT flag them
+            (7, "repeat me repeat me repeat me"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.id: r for r in D.dup_span_stats(
+            df, "doc_id", "text", span_len=3).collect()}
+        d1 = out[1]
+        assert (d1.n_tokens, d1.n_dup_spans, d1.n_dup_tokens,
+                d1.n_dup_regions) == (8, 4, 6, 1)
+        assert abs(d1.dup_token_fraction - 0.75) < 1e-9
+        d2 = out[2]
+        assert (d2.n_dup_tokens, d2.n_dup_regions) == (6, 1)
+        assert abs(d2.dup_token_fraction - 0.6) < 1e-9
+        assert out[3].n_dup_tokens == 0 and out[3].n_dup_regions == 0
+        d4 = out[4]
+        assert (d4.n_dup_tokens, d4.n_dup_regions) == (6, 2)
+        assert out[7].n_dup_spans == 0 and out[7].dup_token_fraction == 0.0
+
+    def test_dup_span_stats_degenerate_short_docs(self, spark):
+        # two identical docs SHORTER than span_len flag each other via the
+        # whole-doc pseudo-span covering every token
+        rows = [(1, "tiny pair"), (2, "tiny pair"), (3, "other words")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.id: r for r in D.dup_span_stats(
+            df, "doc_id", "text", span_len=5).collect()}
+        assert out[1].n_dup_spans == 1 and out[1].n_dup_tokens == 2
+        assert out[1].n_dup_regions == 1
+        assert abs(out[1].dup_token_fraction - 1.0) < 1e-9
+        assert out[3].n_dup_tokens == 0
+
 
 class TestBlockingLinearity:
     """VERDICT r2 item 5: with corpus-sized blocking (auto_nbits /
