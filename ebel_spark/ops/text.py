@@ -652,6 +652,68 @@ def oov_stats(
     )
 
 
+def hash_feature_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    seed: str = "fq1", decimals: int = 6,
+) -> DataFrame:
+    """fastText-style hash-feature linear classifier INFERENCE as pure
+    relational algebra: features are unigrams + word bigrams (fastText's
+    ``wordNgrams=2``), each feature hashes to a deterministic integer
+    weight in [-1000, 1000] via md5(seed ':' feat) — standing in for a
+    trained weight table without shipping one — and the document score is
+    the squashed mean feature weight.  The real-model variant only swaps
+    the md5 weight expression for a broadcast join against a (feature,
+    weight) table; every other operator stays identical, so this pins the
+    exact plan shape a production quality classifier runs at 100 TB.
+
+    Determinism across engines: weights are exact integers summed as
+    longs (partial-agg order can't change the result), and the squash is
+    the Elliott sigmoid x/(1+|x|) — division/abs/add are correctly-rounded
+    IEEE ops, identical in Spark and DuckDB, unlike exp()-based logistic
+    whose libm last-ulp may differ.  score in (0,1); empty docs get the
+    neutral 0.5.
+
+    Shape at 100 TB: wordcount — explode + map-side-combined per-doc sum;
+    md5/conv/mod all whole-stage-codegen JVM expressions; one shuffle of
+    (id, count, sum) rows.  No vocabulary state, no skew (features fan
+    out per doc, the groupBy key is the doc id).
+    """
+    tmp_t = "__hfq_toks"
+    base = df.select(F.col(id_col).alias("id"),
+                     tokens(F.col(text_col)).alias(tmp_t))
+    ts = F.col(tmp_t)  # bound column: HOF lambdas re-evaluate their
+    n = F.size(ts)     # argument per element, never CSE an expression in
+    bigr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(F.element_at(ts, i), F.lit(" "),
+                               F.element_at(ts, i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = base.select("id", F.explode(F.concat(ts, bigr)).alias("feat"))
+    weighted = feats.withColumn(
+        "w",
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed + ":"),
+                                          F.col("feat"))), 1, 15),
+               16, 10).cast("long") % 2001 - 1000)
+    agg = weighted.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_features"), F.sum("w").alias("wsum"))
+    x = F.col("wsum") / (F.col("n_features") * F.lit(1000.0))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_features", F.lit(0)).cast("long")
+            .alias("n_features"),
+            F.round(
+                F.when(F.col("n_features") > 0,
+                       (x / (F.lit(1.0) + F.abs(x)) + F.lit(1.0)) / 2)
+                .otherwise(F.lit(0.5)), decimals).alias("quality"),
+        )
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One call adding all text-analysis columns."""
     c = F.col(text_col)

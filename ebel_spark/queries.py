@@ -1030,6 +1030,47 @@ def doc_dup_spans(spark, sf_dir):
     return D.dup_span_stats(d, "doc_id", "text", span_len=8, min_docs=2)
 
 
+@q("doc_hash_quality", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+), feats AS (
+  SELECT doc_id,
+         unnest(ts || CASE WHEN len(ts) >= 2 THEN
+                  list_transform(range(1, len(ts)),
+                                 i -> ts[i] || ' ' || ts[i+1])
+                ELSE [] END) AS f
+  FROM toks
+), w AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('fq1:' || f), 1, 15)) AS BIGINT)
+           % 2001 - 1000 AS w
+  FROM feats
+), agg AS (
+  SELECT doc_id, count(*) AS n, sum(w) AS s FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n, 0) AS BIGINT) AS n_features,
+       round(CASE WHEN a.n > 0
+             THEN ((a.s / (a.n * 1000.0))
+                   / (1.0 + abs(a.s / (a.n * 1000.0))) + 1.0) / 2
+             ELSE 0.5 END, 6) AS quality
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""")
+def doc_hash_quality(spark, sf_dir):
+    """fastText-style hash-feature quality classifier inference: unigram
+    + word-bigram features, md5-derived deterministic integer weights,
+    Elliott-squashed mean score — the plan shape of a production linear
+    quality gate (swap the md5 weight for a broadcast (feature, weight)
+    join to run a real model).  Exact long sums make the score
+    partitioning-independent; the oracle recomputes every weight from
+    the same md5 in SQL (ops/text.hash_feature_quality)."""
+    d = _tw(spark, sf_dir, "documents")
+    return T.hash_feature_quality(d, "doc_id", "text")
+
+
 @q("doc_bpe_token_counts", """
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
@@ -3439,8 +3480,8 @@ _FRONT = [
     # representative coverage of the remaining families (the rest of the
     # r2-green demos — pricing_summary, events_asof_join, doc_exact_dups,
     # stream_user_sessions, … — stand on their CORRECTNESS_r02 rows)
-    "doc_dup_spans",
-    "doc_training_manifest", "doc_lang_quality",
+    "doc_dup_spans", "doc_hash_quality",
+    "doc_training_manifest",
 ]
 
 

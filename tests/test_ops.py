@@ -96,6 +96,40 @@ class TestText:
                  for r in T.unigram_logprob(df.repartition(16)).collect()}
         assert got16 == got
 
+    def test_hash_feature_quality_math_and_partition_independence(
+            self, spark):
+        import hashlib
+
+        def w(feat):
+            return int(hashlib.md5(
+                ("fq1:" + feat).encode()).hexdigest()[:15], 16) % 2001 - 1000
+
+        def score(text):
+            ts = [t for t in __import__("re").split(
+                "[^a-z0-9]+", text.lower()) if t]
+            feats = ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+            if not feats:
+                return 0, 0.5
+            x = sum(w(f) for f in feats) / (len(feats) * 1000.0)
+            return len(feats), round((x / (1.0 + abs(x)) + 1.0) / 2, 6)
+
+        rows = [(0, "the quick brown fox"), (1, "single"),
+                (2, ""), (3, "the the the the")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: (r.n_features, r.quality)
+               for r in T.hash_feature_quality(df).collect()}
+        for i, txt in rows:
+            assert got[i] == score(txt), (i, got[i], score(txt))
+        # 4 unigrams + 3 bigrams
+        assert got[0][0] == 7
+        # empty doc is neutral, kept by the left join
+        assert got[2] == (0, 0.5)
+        # exact integer fold => identical under any partitioning
+        got16 = {r.doc_id: (r.n_features, r.quality)
+                 for r in T.hash_feature_quality(df.repartition(16))
+                 .collect()}
+        assert got16 == got
+
     def test_winnow_guarantee_and_twin(self, spark):
         from ebel_spark.oracle_docs import WINNOW_K, WINNOW_W
         from ebel_spark.oracle_xxh import spark_xxhash64_str
