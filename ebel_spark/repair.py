@@ -82,6 +82,18 @@ def repair_content(content: str) -> str:
     return new_content
 
 
+def repair_diff(content: str, repaired: str) -> str | None:
+    """The reference `repair --diff` export (validate.py:186-187): an
+    ndiff of original vs repaired lines, produced only when the repair
+    changed something (the reference writes `<path>.diff2repaired` only
+    inside its `content != new_content` guard)."""
+    if content == repaired:
+        return None
+    import difflib
+    return "\n".join(difflib.ndiff(content.split("\n"),
+                                   repaired.split("\n")))
+
+
 def repair_relations(df: DataFrame, content_col: str = "content") -> DataFrame:
     """JVM-side relation-term repair (codegen chain of literal replaces),
     in the same reference insertion order as repair_relation_terms."""
@@ -91,18 +103,32 @@ def repair_relations(df: DataFrame, content_col: str = "content") -> DataFrame:
     return df.withColumn(content_col, col)
 
 
-def repair_sources(df: DataFrame, content_col: str = "content") -> DataFrame:
+def repair_sources(df: DataFrame, content_col: str = "content",
+                   diff: bool = False,
+                   diff_col: str = "repair_diff") -> DataFrame:
     """Full repair over the source table (Arrow-batched; the evidence
-    re-wrap needs textwrap.fill)."""
+    re-wrap needs textwrap.fill).  With ``diff=True`` a `repair_diff`
+    string column carries the reference's `--diff` ndiff export
+    (validate.py:186-187) — null for unchanged files; write it with the
+    rest of the row instead of the reference's per-file
+    `.diff2repaired` side files."""
     import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
 
     schema = df.schema
+    if diff:
+        schema = StructType(list(schema.fields)
+                            + [StructField(diff_col, StringType())])
 
     def fn(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[content_col] = [repair_content(c or "")
-                                for c in pdf[content_col]]
+            orig = [c or "" for c in pdf[content_col]]
+            rep = [repair_content(c) for c in orig]
+            pdf[content_col] = rep
+            if diff:
+                pdf[diff_col] = [repair_diff(o, r)
+                                 for o, r in zip(orig, rep)]
             yield pdf
 
     return df.mapInPandas(fn, schema)

@@ -37,6 +37,39 @@ class TestRepairContent:
         assert after["ok"], after["syntax_errors"]
         assert after["statements"][0]["relation"] == "directly_increases"
 
+    def test_repair_diff_matches_reference_ndiff(self):
+        import difflib
+        from ebel_spark.repair import repair_diff
+        bel = HEADER + "p(HGNC:A) directly_increases p(HGNC:B)\n"
+        repaired = repair_content(bel)
+        got = repair_diff(bel, repaired)
+        # the reference writes exactly "\n".join(difflib.ndiff(...))
+        # (validate.py:186-187)
+        assert got == "\n".join(difflib.ndiff(bel.split("\n"),
+                                              repaired.split("\n")))
+        assert "- p(HGNC:A) directly_increases p(HGNC:B)" in got
+        assert "+ p(HGNC:A) directlyIncreases p(HGNC:B)" in got
+        # unchanged file -> no diff export (reference guard
+        # validate.py:184: only written when content != new_content)
+        clean = HEADER + "p(HGNC:A) increases p(HGNC:B)\n"
+        assert repair_content(clean) == clean
+        assert repair_diff(clean, clean) is None
+
+    def test_repair_sources_diff_column(self, spark):
+        from ebel_spark.repair import repair_sources
+        dirty = HEADER + "p(HGNC:A) directly_increases p(HGNC:B)\n"
+        clean = HEADER + "p(HGNC:A) increases p(HGNC:B)\n"
+        df = spark.createDataFrame(
+            [("r", "a.bel", dirty), ("r", "b.bel", clean)],
+            ["repo", "path", "content"])
+        out = {r.path: r for r in
+               repair_sources(df, diff=True).collect()}
+        assert "directlyIncreases" in out["a.bel"].content
+        assert out["a.bel"].repair_diff.startswith("  SET DOCUMENT")
+        assert out["b.bel"].repair_diff is None
+        # diff=False keeps the input schema untouched
+        assert "repair_diff" not in repair_sources(df).columns
+
     def test_evidence_rewrap(self):
         bel = (
             HEADER
