@@ -2695,6 +2695,74 @@ SELECT bel, round(rank, 6) AS rank FROM r{iters}""")
     return "".join(parts)
 
 
+def _ppr_oracle_sql(iters: int = 10, damping: float = 0.85,
+                    seed_like: str = "p(HGNC:%") -> str:
+    """Chained-CTE DuckDB twin of graph.personalized_pagerank: teleport
+    vector 1/|S| on seed nodes (bel LIKE seed_like), 0 elsewhere;
+    dangling mass re-teleports to the seeds; rank_0 = p."""
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), n AS MATERIALIZED (
+  SELECT u AS bel FROM e UNION SELECT v FROM e
+), sn AS MATERIALIZED (SELECT bel FROM n WHERE bel LIKE '{seed_like}'),
+ns AS MATERIALIZED (SELECT count(*) AS s FROM sn),
+pv AS MATERIALIZED (
+  SELECT n.bel,
+         CASE WHEN sn.bel IS NOT NULL THEN 1.0 / (SELECT s FROM ns)
+              ELSE 0.0 END AS p
+  FROM n LEFT JOIN sn ON sn.bel = n.bel),
+od AS MATERIALIZED (SELECT u, count(*) AS odeg FROM e GROUP BY u),
+r0 AS MATERIALIZED (SELECT bel, p AS rank FROM pv)"""
+    parts = [head]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT pv.bel,
+         {1.0 - damping!r} * pv.p
+         + {damping!r} * (coalesce(c.contrib, 0)
+             + (SELECT coalesce(sum(r.rank), 0) FROM r{p} r
+                LEFT JOIN od ON od.u = r.bel WHERE od.u IS NULL)
+               * pv.p) AS rank
+  FROM pv LEFT JOIN (
+    SELECT e.v AS bel, sum(r.rank / od.odeg) AS contrib
+    FROM e JOIN r{p} r ON r.bel = e.u JOIN od ON od.u = e.u
+    GROUP BY e.v) c ON c.bel = pv.bel
+)""")
+    parts.append(f"""
+SELECT bel, round(rank, 6) AS rank FROM r{iters}""")
+    return "".join(parts)
+
+
+@q("bel_personalized_pagerank", _ppr_oracle_sql())
+def bel_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank seeded on the HGNC protein nodes — proximity
+    of every KG node to the protein family, the 'related entities'
+    primitive (graph.personalized_pagerank; teleport + dangling mass
+    both re-concentrate on the seed distribution).  The oracle unrolls
+    the same fixed point into chained CTEs, so the iterative op gets a
+    full-value check like uniform bel_pagerank."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    seeds = (
+        e.select(F.col("u").alias("bel"))
+        .union(e.select(F.col("v").alias("bel")))
+        .filter(F.col("bel").startswith("p(HGNC:"))
+    )
+    pr = G.personalized_pagerank(e, seeds, damping=0.85, iters=10)
+    return pr.select("bel", F.round("rank", 6).alias("rank"))
+
+
 @q("bel_pagerank", _pagerank_oracle_sql())
 def bel_pagerank(spark, sf_dir):
     """PageRank over the constructed KG (damping 0.85, 10 iterations,
@@ -3455,7 +3523,8 @@ _FRONT = [
     "bel_ambiguity_warnings", "bel_multiple_definitions",
     "bel_semantic_errors",
     # graph analytics
-    "bel_node_degree", "bel_pagerank", "bel_triangle_counts",
+    "bel_node_degree", "bel_pagerank", "bel_personalized_pagerank",
+    "bel_triangle_counts",
     "bel_bfs_depths", "bel_kcore", "bel_components", "bel_negative_samples",
     "bel_communities_lpa", "bel_neighbor_jaccard",
     "edges_reverse_union", "paths_upto_3", "bel_paths", "bel_match",
@@ -3481,7 +3550,6 @@ _FRONT = [
     # r2-green demos — pricing_summary, events_asof_join, doc_exact_dups,
     # stream_user_sessions, … — stand on their CORRECTNESS_r02 rows)
     "doc_dup_spans", "doc_hash_quality",
-    "doc_training_manifest",
 ]
 
 

@@ -488,3 +488,52 @@ class TestPageRank:
         got = pagerank(e, iters=3)
         assert got.columns == ["bel", "rank"]
         assert got.count() == 0
+
+    def test_personalized_matches_numpy_and_degenerates(self, spark):
+        import numpy as np
+        from ebel_spark.graph import pagerank, personalized_pagerank
+
+        edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a"),
+                 ("c", "e")]  # e dangling
+        nodes = sorted({x for p in edges for x in p})
+        e = spark.createDataFrame(edges, ["u", "v"])
+
+        idx = {x: i for i, x in enumerate(nodes)}
+        n = len(nodes)
+        M = np.zeros((n, n))
+        outd = np.zeros(n)
+        for u, v in edges:
+            outd[idx[u]] += 1
+        for u, v in edges:
+            M[idx[v], idx[u]] = 1.0 / outd[idx[u]]
+        p = np.zeros(n)
+        for s in ("a", "b"):      # seed set
+            p[idx[s]] = 0.5
+        d, r = 0.85, p.copy()
+        for _ in range(10):
+            dangling = r[outd == 0].sum()
+            r = (1 - d) * p + d * (M @ r + dangling * p)
+
+        seeds = spark.createDataFrame([("a",), ("b",), ("zzz",)], ["bel"])
+        got = {row.bel: row.rank for row in
+               personalized_pagerank(e, seeds, iters=10).collect()}
+        for name in nodes:
+            assert abs(got[name] - r[idx[name]]) < 1e-9, name
+        # mass conserved; non-seed source d gets only the (1-d)*0 base
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        assert got["d"] == 0.0
+
+        # seeds = all nodes degenerates to uniform PageRank
+        allseeds = spark.createDataFrame([(x,) for x in nodes], ["bel"])
+        ppr_all = {row.bel: row.rank for row in
+                   personalized_pagerank(e, allseeds, iters=10).collect()}
+        uni = {row.bel: row.rank for row in
+               pagerank(e, iters=10).collect()}
+        for name in nodes:
+            assert abs(ppr_all[name] - uni[name]) < 1e-12, name
+
+        # empty seed intersection -> all-zero ranks, not an error
+        none = spark.createDataFrame([("nope",)], ["bel"])
+        zero = {row.bel: row.rank for row in
+                personalized_pagerank(e, none, iters=3).collect()}
+        assert set(zero.values()) == {0.0}
