@@ -50,6 +50,12 @@ HEADLINE_QUERIES = [
     "ann_ivf_topk",
     "doc_simhash_pairs",
     "bel_paths",
+    # round-3 late additions: span-level dedup (positional-gram inverted
+    # index), the hash-feature quality classifier (wordcount shape), and
+    # seeded PageRank (iterative join+agg rounds)
+    "doc_dup_spans",
+    "doc_hash_quality",
+    "bel_personalized_pagerank",
 ]
 
 

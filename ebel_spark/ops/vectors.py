@@ -596,6 +596,80 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 3,
+    nlist: int | None = 8, nprobe: int = 2,
+    m: int = 8, ksub: int = 16, iters: int = 2, pq_iters: int = 1,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composed ANN — the standard large-scale recipe (Jégou et
+    al. 2011; FAISS `IVFx,PQy` with by_residual=false): the IVF coarse
+    quantizer bounds the CANDIDATE set (probe equi-join on list_id,
+    never all-pairs) while PQ bounds the BYTES per candidate (each
+    corpus vector rides as m uint8 codes; scoring is the ADC
+    lookup-table sum, raw vectors never leave the encode step).  Codes
+    are built against the raw-vector codebook, not the per-list
+    residual, so the codebook and LUTs are exactly `pq_train` /
+    `pq_luts_py` — which is what lets the composed op reuse the
+    driver-retrained twin tables for a full-value oracle.
+
+    Shape at 100 TB: both models train on bounded samples and ride as
+    broadcast matrices (compile-once assignment); the corpus-side pass
+    is map-only (assign list + encode), candidates come from one
+    broadcast probe join, and the score is a map-side-combined exact
+    LONG sum per (query, candidate).  Cost scales with
+    nprobe/nlist × m/dim of the flat scan.  nprobe == nlist degrades to
+    the plain `pq_topk` ranking (pytest invariant)."""
+    if nlist is None:
+        nlist = auto_nlist(corpus.count())
+    cents = ivf_train_centroids(corpus, nlist, dim, iters=iters,
+                                id_col=id_col, vec_col=vec_col)
+    model = pq_train(corpus, dim, m=m, ksub=ksub, iters=pq_iters,
+                     id_col=id_col, vec_col=vec_col)
+    d = dim // m
+    flat = [c for sub in model for c in sub]
+    codes = (
+        attach_model(
+            with_nearest_lists(corpus, cents, dim, 1, vec_col=vec_col),
+            flat, "_cmat")
+        .select(F.col(id_col).alias("corpus_id"),
+                F.col("lists")[0].alias("list_id"),
+                F.posexplode(pq_codes_col(F.col(vec_col), F.col("_cmat"),
+                                          m, ksub, d)).alias("s", "code"))
+    )
+    probes = with_nearest_lists(queries, cents, dim, nprobe,
+                                vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.explode("lists").alias("list_id"))
+    spark = corpus.sparkSession
+    lut_rows = [
+        (r[id_col], s, c, luts[s][c])
+        for r in queries.select(id_col, vec_col).collect()
+        for luts in [pq_luts_py(r[vec_col], model)]
+        for s in range(m) for c in range(ksub)
+    ]
+    from pyspark.sql import types as Ty
+    lut = spark.createDataFrame(lut_rows, Ty.StructType([
+        Ty.StructField("query_id", queries.schema[id_col].dataType),
+        Ty.StructField("s", Ty.IntegerType()),
+        Ty.StructField("code", Ty.IntegerType()),
+        Ty.StructField("slut", Ty.LongType()),
+    ]))
+    scored = (
+        codes.join(F.broadcast(probes), "list_id")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("slut").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "corpus_id", "score", "rnk")
+    )
+
+
 def embedding_cosine_dup_pairs(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     nbits: int | None = 8, seed: int = 42,

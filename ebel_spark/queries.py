@@ -2282,6 +2282,40 @@ def ann_pq_topk(spark, sf_dir):
     return X.pq_topk(e, qdf, dim=64, k=3, m=8, ksub=16, iters=1)
 
 
+@q("ann_ivfpq_topk", """
+WITH sc AS (
+  SELECT p.vec_id AS query_id, cl.vec_id AS corpus_id,
+         CAST(sum(l.slut) AS BIGINT) AS score
+  FROM read_parquet('/tmp/ebel_spark_oracle_vecs_v1/ivf_query_probes/*.parquet') p
+  JOIN read_parquet('/tmp/ebel_spark_oracle_vecs_v1/ivf_corpus_lists/*.parquet') cl
+    ON cl.list_id = p.list_id AND cl.vec_id <> p.vec_id
+  JOIN read_parquet('/tmp/ebel_spark_oracle_vecs_v1/pq_codes/*.parquet') c
+    ON c.vec_id = cl.vec_id
+  JOIN read_parquet('/tmp/ebel_spark_oracle_vecs_v1/pq_lut/*.parquet') l
+    ON l.query_id = p.vec_id AND l.s = c.s AND l.code = c.code
+  GROUP BY 1, 2
+)
+SELECT query_id, corpus_id, score, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, corpus_id ASC) AS rnk
+  FROM sc
+) WHERE rnk <= 3
+""")
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN (ops/vectors.ivfpq_topk) — the FAISS-style
+    large-scale recipe: IVF lists bound the candidate set (probe
+    equi-join), PQ codes bound bytes per candidate (ADC lookup-table
+    sum, exact scaled longs).  Both models are the partitioning-
+    independent trained twins already oracled individually
+    (ann_ivf_topk, ann_pq_topk); the oracle composes their driver-side
+    tables — probes ⋈ lists ⋈ codes ⋈ LUTs — in SQL, so the composed
+    approximate ranking gets a full-value check too."""
+    e = _tw(spark, sf_dir, "embeddings")
+    qdf = e.filter(F.col("vec_id") < 8)
+    return X.ivfpq_topk(e, qdf, dim=64, k=3, nlist=8, nprobe=3,
+                        m=8, ksub=16, iters=2, pq_iters=1)
+
+
 @q("embedding_dup_pairs_lsh", """
 WITH b AS (
   SELECT * FROM
@@ -3527,11 +3561,12 @@ _FRONT = [
     "bel_triangle_counts",
     "bel_bfs_depths", "bel_kcore", "bel_components", "bel_negative_samples",
     "bel_communities_lpa", "bel_neighbor_jaccard",
-    "edges_reverse_union", "paths_upto_3", "bel_paths", "bel_match",
+    "edges_reverse_union", "bel_paths", "bel_match",
     # hash-dedup family
     "doc_minhash_pairs", "doc_simhash_pairs",
     # ANN / embedding family
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_exact_topk",
+    "ann_ivfpq_topk",
     "embedding_dup_pairs_exact", "embedding_dup_pairs_lsh",
     "semantic_dup_pairs",
     # multimodal family

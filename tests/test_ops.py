@@ -627,6 +627,26 @@ class TestVectors:
                           m=4, ksub=4, iters=1).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
+    def test_ivfpq_full_probe_equals_pq_and_finds_planted(self, vecs):
+        q = vecs.filter("vec_id < 5")
+        # nprobe == nlist -> every list probed -> candidate set equals
+        # the flat PQ scan, so the composed ranking must be pq_topk's
+        full = X.ivfpq_topk(vecs, q, dim=16, k=2, nlist=2, nprobe=2,
+                            m=4, ksub=4, iters=1, pq_iters=1).collect()
+        flat = X.pq_topk(vecs, q, dim=16, k=2, m=4, ksub=4,
+                         iters=1).collect()
+        assert sorted(map(tuple, full)) == sorted(map(tuple, flat))
+        # the planted near-dup (qid+10) quantizes to the same IVF list
+        # and (mostly) the same codes, so it wins even at nprobe=1
+        got = X.ivfpq_topk(vecs, q, dim=16, k=1, nlist=2, nprobe=1,
+                           m=4, ksub=4, iters=1, pq_iters=1).collect()
+        hits = {r.query_id: r.corpus_id for r in got}
+        assert sum(1 for qid, cid in hits.items() if cid == qid + 10) >= 3
+        # deterministic across runs (exact scaled-long scores)
+        again = X.ivfpq_topk(vecs, q, dim=16, k=1, nlist=2, nprobe=1,
+                             m=4, ksub=4, iters=1, pq_iters=1).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
     def test_pq_topk_string_ids(self, spark, vecs):
         # id generality (r3 review fix): string keys, accepted by every
         # other *_topk operator, must work and keep their type
