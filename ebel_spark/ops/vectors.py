@@ -670,6 +670,37 @@ def ivfpq_topk(
     )
 
 
+def topk_recall(approx: DataFrame, exact: DataFrame, k: int,
+                decimals: int = 6) -> DataFrame:
+    """recall@k of an approximate top-k result against the exact
+    ground truth: per query, |approx ∩ exact| / k — the acceptance
+    metric every ANN deployment tracks before trading accuracy for
+    probe cost.  Both inputs are (query_id, corpus_id, ...) top-k
+    frames (e.g. ivf_topk vs brute_force_topk over the same queries).
+
+    Shape at scale: both sides are already k rows per query, so the
+    inner join + per-query count is tiny relative to producing either
+    input; the left join from the exact side keeps queries the
+    approximate index missed entirely (recall 0), which an inner-only
+    compare would silently drop."""
+    a = approx.select("query_id", "corpus_id").dropDuplicates()
+    e = exact.select("query_id", "corpus_id").dropDuplicates()
+    hits = (
+        e.join(a, ["query_id", "corpus_id"])
+        .groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        e.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.lit(float(k)),
+                    decimals).alias("recall"),
+        )
+    )
+
+
 def embedding_cosine_dup_pairs(
     df: DataFrame, threshold: float = 0.95, dim: int = 64,
     nbits: int | None = 8, seed: int = 42,

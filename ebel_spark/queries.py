@@ -2316,6 +2316,59 @@ def ann_ivfpq_topk(spark, sf_dir):
                         m=8, ksub=16, iters=2, pq_iters=1)
 
 
+@q("ann_recall_lsh", """
+WITH b AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_vecs_v1/lsh8_buckets/*.parquet')
+), v AS (
+  SELECT e.vec_id, e.embedding, b.bucket
+  FROM embeddings e JOIN b USING (vec_id)
+), lsh_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_cosine_similarity(q.embedding, c.embedding), 4)
+           AS cosine
+  FROM v q JOIN v c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+), approx AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rnk
+    FROM lsh_scored) WHERE rnk <= 3
+), ex_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_cosine_similarity(q.embedding, c.embedding), 4)
+           AS cosine
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+), exact AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rnk
+    FROM ex_scored) WHERE rnk <= 3
+), hits AS (
+  SELECT e.query_id, count(*) AS n_hit
+  FROM exact e JOIN approx a
+    ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+  GROUP BY 1
+)
+SELECT e.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       round(coalesce(h.n_hit, 0) / 3.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM exact) e
+LEFT JOIN hits h USING (query_id)
+""")
+def ann_recall_lsh(spark, sf_dir):
+    """recall@3 of the LSH approximate top-k against the exact cosine
+    ground truth (ops/vectors.topk_recall) — the acceptance metric an
+    ANN deployment tracks when trading probe cost for accuracy.  Both
+    inputs are the already-oracled query results (ann_lsh_topk /
+    ann_brute_topk), so the oracle recomposes the same two CTEs and the
+    per-query intersection in SQL; queries the LSH buckets miss
+    entirely survive the left join with recall 0."""
+    return X.topk_recall(ann_lsh_topk(spark, sf_dir),
+                         ann_brute_topk(spark, sf_dir), k=3)
+
+
 @q("embedding_dup_pairs_lsh", """
 WITH b AS (
   SELECT * FROM

@@ -647,6 +647,21 @@ class TestVectors:
                              m=4, ksub=4, iters=1, pq_iters=1).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, again))
 
+    def test_topk_recall(self, spark):
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12),
+             (2, 20), (2, 21), (2, 22),
+             (3, 30), (3, 31), (3, 32)], ["query_id", "corpus_id"])
+        approx = spark.createDataFrame(
+            # q1: all three; q2: one hit + one false positive; q3 absent
+            [(1, 10), (1, 11), (1, 12), (2, 20), (2, 99)],
+            ["query_id", "corpus_id"])
+        got = {r.query_id: (r.n_hit, r.recall)
+               for r in X.topk_recall(approx, exact, k=3).collect()}
+        assert got[1] == (3, 1.0)
+        assert got[2] == (1, round(1 / 3.0, 6))
+        assert got[3] == (0, 0.0)
+
     def test_pq_topk_string_ids(self, spark, vecs):
         # id generality (r3 review fix): string keys, accepted by every
         # other *_topk operator, must work and keep their type
