@@ -652,6 +652,45 @@ def oov_stats(
     )
 
 
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats):
+    H = ln N − (1/N)·Σ_t n_t·ln n_t — the diversity / repetition junk
+    signal (near-0 for "buy buy buy…" spam, ~ln N for all-distinct
+    prose).  Complements `repetition_ratios` (which detects REPEATED
+    RUNS) by catching high-frequency scattered repetition.
+
+    The Σ n_t·ln n_t term folds floor(n_t·ln(n_t)·1e9) as EXACT longs
+    (the unigram_logprob discipline), so the score is bit-identical
+    under any partitioning.  Shape at 100 TB: wordcount — one
+    (id, token) partial-agg shuffle bounded by per-doc vocabulary, one
+    per-id rollup; no joins, no skew (keys carry the doc id)."""
+    tok = df.select(F.col(id_col).alias("id"),
+                    F.explode(tokens(F.col(text_col))).alias("t"))
+    tc = tok.groupBy("id", "t").agg(F.count(F.lit(1)).alias("n"))
+    per = tc.groupBy("id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.floor(F.col("n") * F.log(F.col("n"))
+                      * F.lit(1000000000.0))).alias("s"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("long")
+            .alias("n_tokens"),
+            F.round(
+                F.when(F.col("n_tokens") > 0,
+                       F.log(F.col("n_tokens"))
+                       - F.col("s") / (F.lit(1000000000.0)
+                                       * F.col("n_tokens")))
+                .otherwise(F.lit(0.0)), decimals).alias("entropy"),
+        )
+    )
+
+
 def hash_feature_quality(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     seed: str = "fq1", decimals: int = 6,

@@ -1071,6 +1071,36 @@ def doc_hash_quality(spark, sf_dir):
     return T.hash_feature_quality(d, "doc_id", "text")
 
 
+@q("doc_token_entropy", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS t
+  FROM documents
+), tc AS (
+  SELECT doc_id, t, count(*) AS n FROM toks GROUP BY doc_id, t
+), per AS (
+  SELECT doc_id, sum(n) AS n_tokens,
+         sum(CAST(floor(n * ln(n) * 1000000000.0) AS BIGINT)) AS s
+  FROM tc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(CASE WHEN p.n_tokens > 0
+             THEN ln(p.n_tokens) - p.s / (1000000000.0 * p.n_tokens)
+             ELSE 0.0 END, 6) AS entropy
+FROM documents d LEFT JOIN per p USING (doc_id)
+""")
+def doc_token_entropy(spark, sf_dir):
+    """Per-doc token-distribution Shannon entropy (nats) — the
+    scattered-repetition junk signal complementing repetition_ratios'
+    run detection (ops/text.token_entropy; exact scaled-long folds make
+    it partitioning-independent, the oracle recomputes the same fold in
+    SQL)."""
+    d = _tw(spark, sf_dir, "documents")
+    return T.token_entropy(d, "doc_id", "text")
+
+
 @q("doc_bpe_token_counts", """
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))

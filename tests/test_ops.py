@@ -96,6 +96,33 @@ class TestText:
                  for r in T.unigram_logprob(df.repartition(16)).collect()}
         assert got16 == got
 
+    def test_token_entropy_math_and_partition_independence(self, spark):
+        import math
+
+        def h(text):
+            ts = [t for t in __import__("re").split(
+                "[^a-z0-9]+", text.lower()) if t]
+            if not ts:
+                return 0, 0.0
+            from collections import Counter
+            s = sum(math.floor(n * math.log(n) * 1e9)
+                    for n in Counter(ts).values())
+            return len(ts), round(math.log(len(ts)) - s / (1e9 * len(ts)), 6)
+
+        rows = [(0, "a b c d"),          # all distinct -> ln 4
+                (1, "spam spam spam spam"),   # zero entropy
+                (2, "x x y y"), (3, "")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {r.doc_id: (r.n_tokens, r.entropy)
+               for r in T.token_entropy(df).collect()}
+        for i, txt in rows:
+            assert got[i] == h(txt), (i, got[i], h(txt))
+        assert abs(got[0][1] - round(math.log(4), 6)) < 1e-9
+        assert got[1][1] == 0.0 and got[3] == (0, 0.0)
+        got16 = {r.doc_id: (r.n_tokens, r.entropy)
+                 for r in T.token_entropy(df.repartition(16)).collect()}
+        assert got16 == got
+
     def test_hash_feature_quality_math_and_partition_independence(
             self, spark):
         import hashlib
