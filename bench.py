@@ -56,6 +56,11 @@ HEADLINE_QUERIES = [
     "doc_dup_spans",
     "doc_hash_quality",
     "bel_personalized_pagerank",
+    # round-3 final additions: DSIR importance weights (bounded bucket agg
+    # + broadcast distribution join) and the deterministic DeepWalk corpus
+    # (per-step transition table + 1:1 state joins)
+    "doc_dsir_weights",
+    "bel_random_walks",
 ]
 
 

@@ -688,6 +688,66 @@ def personalized_pagerank(
     return ranks.select("bel", "rank")
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list, L1-normalized per half-step (sum-normalization instead of the
+    textbook L2 so the oracle twin needs no sqrt): per iteration
+    auth(v) = sum of hub over in-neighbors / total, then
+    hub(u) = sum of auth over out-neighbors / total.
+
+    Same distributed shape as `pagerank`: each half-step is one
+    shuffle-partitioned join on the edge key plus a map-side-combined
+    aggregation on the opposite key; the normalizer rides as a broadcast
+    1-row aggregate inside the plan (never a driver collect); lineage is
+    cut per iteration so the plan stays O(1) deep.  Returns
+    (bel, hub, auth) for every node.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    nodes = (
+        e.select(F.col("u").alias("bel"))
+        .union(e.select(F.col("v").alias("bel")))
+        .distinct()
+        .transform(cut_lineage)
+    )
+    if nodes.isEmpty():
+        return nodes.select("bel", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("auth"))
+    scores = nodes.select("bel", F.lit(1.0).alias("hub"),
+                          F.lit(0.0).alias("auth"))
+    for _ in range(iters):
+        a_raw = (
+            e.join(scores.select(F.col("bel").alias("u"), "hub"), "u")
+            .groupBy("v").agg(F.sum("hub").alias("a_raw"))
+        )
+        sa = a_raw.agg(F.sum("a_raw").alias("s_a"))
+        auth = (
+            nodes.join(a_raw, nodes["bel"] == a_raw["v"], "left")
+            .crossJoin(F.broadcast(sa))
+            .select("bel", (F.coalesce(F.col("a_raw"), F.lit(0.0))
+                            / F.col("s_a")).alias("auth"))
+        )
+        h_raw = (
+            e.join(auth.select(F.col("bel").alias("v"), "auth"), "v")
+            .groupBy("u").agg(F.sum("auth").alias("h_raw"))
+        )
+        sh = h_raw.agg(F.sum("h_raw").alias("s_h"))
+        scores = (
+            nodes.join(h_raw, nodes["bel"] == h_raw["u"], "left")
+            .crossJoin(F.broadcast(sh))
+            .select("bel", (F.coalesce(F.col("h_raw"), F.lit(0.0))
+                            / F.col("s_h")).alias("hub"))
+            .join(auth, "bel")
+            .select("bel", "hub", "auth")
+            .transform(cut_lineage)
+        )
+    return scores
+
+
 def undirected_edges(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     """Canonicalize a directed edge list to distinct undirected pairs
     (a < b), dropping self-loops.  One distinct shuffle; every undirected
@@ -750,6 +810,92 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
         tris.select(F.explode(F.array("s", "v", "w")).alias("bel"))
         .groupBy("bel")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_len: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus over a directed edge list:
+    `walks_per_node` walks of up to `walk_len` hops from every node, the
+    skip-gram training-sequence generator for KG node embeddings
+    (Perozzi et al. 2014), with the random choice replaced by hashing so
+    the corpus is reproducible under any partitioning: from node c at
+    step t of walk w the next hop is the out-neighbor v minimizing
+    (xxhash64("c|w|t|v"), v).  Walks stop early at sinks.
+
+    Shape at scale: the chosen hop depends only on (c, w, t) — NOT on the
+    walk's origin — so each step first reduces edges x walks to a
+    TRANSITION TABLE of at most |V| x walks_per_node rows (one partial-agg
+    min per out-neighborhood; map-side combined), then advances all walk
+    states with a 1:1 equi-join against it.  State rows never fan out, so
+    hub skew lands only in the bounded transition-table aggregation, never
+    in the state join — the classic distributed-DeepWalk candidate blowup
+    (states-at-hub x out-degree) is avoided by construction.  walk_len
+    bounds the number of shuffles.
+
+    Returns (start, walk, step, node) rows, step 0 = the start node.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = (e.select(F.col("u").alias("bel"))
+             .union(e.select("v")).distinct())
+    walk_ids = F.array(*[F.lit(w) for w in range(walks_per_node)])
+    cur = nodes.select(
+        F.col("bel").alias("start"),
+        F.explode(walk_ids).alias("walk"),
+        F.col("bel").alias("node"),
+    )
+    out = cur.withColumn("step", F.lit(0))
+    # ALL per-step transitions in one pass: edges x walks x steps, one
+    # window shuffle, persisted — each step's 1:1 state join filters this
+    # frame instead of re-deriving (and re-shuffling) the edge list
+    steps = F.array(*[F.lit(t) for t in range(walk_len)])
+    h = F.xxhash64(F.concat_ws(
+        "|", F.col("u"), F.col("walk").cast("string"),
+        F.col("t").cast("string"), F.col("v")))
+    trans = (
+        e.select("u", "v", F.explode(walk_ids).alias("walk"))
+        .select("u", "v", "walk", F.explode(steps).alias("t"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("u", "walk", "t")
+            .orderBy(h.asc(), F.col("v").asc())))
+        .filter(F.col("rn") == 1)
+        .select(F.col("u").alias("node"), "walk", "t",
+                F.col("v").alias("nxt"))
+        .persist()
+    )
+    for t in range(walk_len):
+        cur = (
+            cur.join(trans.filter(F.col("t") == t), ["node", "walk"])
+            .select("start", "walk", F.col("nxt").alias("node"))
+        )
+        out = out.unionByName(cur.withColumn("step", F.lit(t + 1)))
+    return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from a `random_walks` corpus: for every
+    walk, all ordered (center, context) node pairs within `window` steps
+    of each other, aggregated to corpus-level counts — the input a
+    word2vec-style node-embedding trainer consumes (DeepWalk step 2).
+
+    The self-join keys on (start, walk), so each walk fans out at most
+    (walk_len+1)^2 rows regardless of graph size or skew; the pair count
+    aggregation is map-side combined on (center, context)."""
+    a = walks.select("start", "walk", F.col("step").alias("si"),
+                     F.col("node").alias("center"))
+    b = walks.select("start", "walk", F.col("step").alias("sj"),
+                     F.col("node").alias("context"))
+    return (
+        a.join(b, ["start", "walk"])
+        .filter((F.abs(F.col("si") - F.col("sj")) <= window)
+                & (F.col("si") != F.col("sj")))
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
 
 

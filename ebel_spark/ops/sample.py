@@ -285,3 +285,35 @@ def weighted_topk_sample(
         .orderBy(F.desc("score"), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    logweight_col: Column,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "gum:",
+) -> DataFrame:
+    """Gumbel-top-k sampling over LOG weights (the Gumbel-max trick):
+    perturb each row's log-weight with deterministic Gumbel noise
+    g = -ln(-ln(u)) and keep the global top-k of (log_w + g) — exactly
+    the without-replacement sample with inclusion probability
+    proportional to exp(log_w), i.e. Efraimidis-Spirtes expressed in log
+    space, which is how DSIR-style importance RESAMPLING consumes its
+    log-ratio weights without ever exponentiating them (exp overflows
+    for long on-target documents; the Gumbel form never does).
+
+    Same engineering contract as weighted_topk_sample: u is pseudo-random
+    from md5(salt || id) so the draw is reproducible and SQL-twinnable,
+    the key is rounded (9 dp) with the id as tiebreaker so the k-cut is
+    stable across engines, and orderBy().limit(k) plans as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    key = F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    u = (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+         + F.lit(0.5)) / F.lit(float(1 << 32))
+    gkey = F.round(logweight_col.cast("double") - F.log(-F.log(u)), 9)
+    return (
+        df.withColumn("gumbel_key", gkey)
+        .orderBy(F.desc("gumbel_key"), F.col(id_col).asc())
+        .limit(k)
+    )

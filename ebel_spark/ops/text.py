@@ -765,3 +765,156 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(c))
         .withColumn("fingerprint", fingerprint(c))
     )
+
+
+def dsir_importance(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    target: Column | None = None, n_buckets: int = 256,
+    alpha: float = 1.0, decimals: int = 6,
+) -> DataFrame:
+    """DSIR hashed-ngram importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score every
+    document by how much more likely its token mix is under a TARGET
+    domain's unigram bucket distribution than under the RAW corpus's —
+    log w(d) = sum over token occurrences of
+    ln p_target(bucket) - ln p_raw(bucket), buckets = pmod(xxhash64(token),
+    n_buckets), add-alpha smoothing on both distributions.  Sampling
+    proportionally to exp(log_weight) reshapes the raw corpus toward the
+    target domain; here the weight column itself is the deliverable.
+
+    `target` is any boolean Column over df's columns marking the target-
+    domain exemplars (e.g. F.col("lang") == "en"); both distributions are
+    estimated from the same corpus in one pass.
+
+    Exactness: per-bucket log-ratios are scaled-long folds (floor(1e9*x),
+    the unigram_logprob trick), so the per-doc sum is bit-identical under
+    any partitioning.  Shape at scale: ONE heavy pass — the token explode
+    reduces immediately to per-(doc, bucket) counts (map-side combined,
+    ≤ n_buckets rows per doc), persisted so the distribution estimates,
+    the scalar totals and the final per-doc fold all reuse it instead of
+    re-tokenizing the corpus per branch; then a broadcast n_buckets-row
+    distribution join and one per-doc partial agg — no all-pairs, no
+    global sort.  Hot-token skew lands on the bounded bucket aggregation,
+    which partial aggregation absorbs.
+    """
+    if target is None:
+        target = F.lit(True)
+    bc = (
+        df.select(
+            F.col(id_col).alias("id"), target.alias("is_target"),
+            F.explode(tokens(F.col(text_col))).alias("term"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+        .groupBy("id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    raw = bc.groupBy("bucket").agg(F.sum("c").alias("craw"))
+    tgt = (bc.filter("is_target")
+           .groupBy("bucket").agg(F.sum("c").alias("ctgt")))
+    tot = bc.agg(
+        F.sum("c").alias("traw"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0)))
+        .alias("ttgt"))
+    b = float(n_buckets)
+    dist = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "s",
+            F.floor(
+                (F.log((F.coalesce(F.col("ctgt"), F.lit(0)) + F.lit(alpha))
+                       / (F.col("ttgt") + F.lit(alpha * b)))
+                 - F.log((F.col("craw") + F.lit(alpha))
+                         / (F.col("traw") + F.lit(alpha * b))))
+                * F.lit(1000000000.0)).cast("long"))
+        .select("bucket", "s")
+    )
+    return (
+        bc.join(F.broadcast(dist), "bucket")
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_tokens"),
+             F.sum(F.col("c") * F.col("s")).alias("ssum"))
+        .select(F.col("id").alias(id_col),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.round(F.col("ssum") / F.lit(1000000000.0), decimals)
+                .alias("log_weight"))
+    )
+
+
+#: stop words whose presence Gopher rule 8 requires (Rae et al. 2021 §A1.1)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_words: int = 50, max_words: int = 100000,
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1, max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3, min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2, decimals: int = 6,
+) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021 §A1.1; reused by
+    RedPajama/Dolma/FineWeb): per-document repetition-free heuristics —
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (# and ellipsis), bullet-line and ellipsis-line fractions, fraction
+    of words containing an alphabetic character, and the required
+    stop-word hits — plus the conjunctive `keep` verdict.
+
+    Pure column algebra over one row (no shuffle at all — a map-only
+    stage that fuses into whatever scan feeds it; the cheapest filter in
+    the pipeline, which is why it runs FIRST at 100 TB, before any
+    hash/dedup pass).  `keep` is computed from the UNROUNDED doubles on
+    both engine sides (the reported ratios are rounded for display)."""
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    sum_len = F.aggregate(words, F.lit(0).cast("long"),
+                          lambda acc, w: acc + F.length(w))
+    mean_wl = sum_len / n_words
+    n_symbols = (F.length(c)
+                 - F.length(F.replace(F.replace(c, F.lit("#"), F.lit("")),
+                                      F.lit("…"), F.lit(""))))
+    symbol_ratio = n_symbols / n_words
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]")))
+        / n_lines)
+    ellipsis_frac = (
+        F.size(F.filter(lines,
+                        lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        / n_lines)
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words)
+    stop_hits = F.size(F.array_intersect(
+        F.array_distinct(tokens(c)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("_mwl"), symbol_ratio.alias("_sym"),
+        F.when(n_lines > 0, bullet_frac).otherwise(F.lit(0.0)).alias("_bul"),
+        F.when(n_lines > 0, ellipsis_frac).otherwise(F.lit(0.0))
+        .alias("_ell"),
+        alpha_frac.alias("_alp"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("_mwl") >= min_mean_word_len)
+        & (F.col("_mwl") <= max_mean_word_len)
+        & (F.col("_sym") <= max_symbol_ratio)
+        & (F.col("_bul") <= max_bullet_frac)
+        & (F.col("_ell") <= max_ellipsis_frac)
+        & (F.col("_alp") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.select(
+        id_col, "n_words",
+        F.round("_mwl", decimals).alias("mean_word_len"),
+        F.round("_sym", decimals).alias("symbol_ratio"),
+        F.round("_bul", decimals).alias("bullet_frac"),
+        F.round("_ell", decimals).alias("ellipsis_frac"),
+        F.round("_alp", decimals).alias("alpha_word_frac"),
+        "stop_hits", keep.alias("keep"),
+    )

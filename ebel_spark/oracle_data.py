@@ -132,3 +132,52 @@ def ensure_oracle_tables(base: str = ORACLE_BASE) -> str:
     with open(os.path.join(base, _MARKER), "w") as fd:
         fd.write("ok")
     return base
+
+
+# ---------------------------------------------------------------------------
+# deterministic random-walk oracle helper
+# ---------------------------------------------------------------------------
+
+#: walk parameters shared by graph.random_walks's contract query and its
+#: DuckDB oracle (bel_random_walks)
+WALKS_PER_NODE = 2
+WALK_LEN = 3
+_WALKS_MARKER = "_WALKS_READY"
+
+
+def ensure_walk_tables(base: str = ORACLE_BASE) -> str:
+    """Hash helper for the deterministic random-walk oracle: for every KG
+    edge (u, v), walk index w and step t, the Spark-identical selection
+    hash xxhash64("u|w|t|v").  The walk op picks, from node u at step t of
+    walk w, the neighbor v with the smallest (hash, v) — so the DuckDB
+    oracle can unroll the walk as WALK_LEN min-selection joins over this
+    table, with no hash evaluation inside SQL.
+
+    Domain is edges x walks x steps (NOT walks' states), so the table is
+    linear in |E| and independent of where walks actually go."""
+    ensure_oracle_tables(base)
+    if os.path.exists(os.path.join(base, _WALKS_MARKER)):
+        return base
+
+    from .oracle_xxh import spark_xxhash64_str
+
+    st = pd.read_parquet(
+        os.path.join(base, "statements"),
+        columns=["subject_bel", "object_bel", "edge_key", "nested"])
+    st = st[st["edge_key"].notna() & ~st["nested"]]
+    edges = sorted(set(zip(st["subject_bel"], st["object_bel"])))
+    rows = [
+        {"u": u, "w": w, "t": t, "v": v,
+         "h": spark_xxhash64_str(f"{u}|{w}|{t}|{v}")}
+        for (u, v) in edges
+        for w in range(WALKS_PER_NODE)
+        for t in range(WALK_LEN)
+    ]
+    d = os.path.join(base, "walk_hashes")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(rows, columns=["u", "w", "t", "v", "h"]).astype(
+        {"w": "int32", "t": "int32", "h": "int64"}).to_parquet(
+        os.path.join(d, "part-0.parquet"), index=False)
+    with open(os.path.join(base, _WALKS_MARKER), "w") as fd:
+        fd.write("ok")
+    return base

@@ -44,6 +44,8 @@ MINHASH_SHINGLE_N = 3
 FINGERPRINT_N = 5
 WINNOW_K = 4
 WINNOW_W = 4
+#: DSIR hashed-ngram bucket count (ops/text.dsir_importance twin)
+DSIR_BUCKETS = 256
 
 
 def _tokens(text: str) -> list[str]:
@@ -64,19 +66,23 @@ def _shingles(toks: list[str], n: int) -> list[str]:
 def ensure_docs_oracle_tables(base: str = DOCS_BASE,
                               docs_parquet: str = GATE_DOCS) -> str:
     """Build the doc-op oracle parquet tables if absent; returns base."""
-    # the winnow check forces a one-time rebuild of dirs created before
-    # that table existed (the rebuild rewrites every table, idempotent)
+    # the newest-table check forces a one-time rebuild of dirs created
+    # before that table existed (the rebuild rewrites every table,
+    # idempotent)
     if (os.path.exists(os.path.join(base, _MARKER))
-            and os.path.isdir(os.path.join(base, "winnow"))):
+            and os.path.isdir(os.path.join(base, "winnow"))
+            and os.path.isdir(os.path.join(base, "token_buckets"))):
         return base
 
     docs = pd.read_parquet(docs_parquet, columns=["doc_id", "text"])
     rows_per_band = MINHASH_K // MINHASH_BANDS
 
     fp_rows, band_rows, sh_rows, sim_rows, win_rows = [], [], [], [], []
+    vocab: set[str] = set()
     for doc_id, text in zip(docs["doc_id"], docs["text"]):
         doc_id = int(doc_id)
         toks = _tokens(text)
+        vocab.update(toks)
 
         # winnowing (ops/text.winnow_fingerprints twin): positional k-gram
         # hashes -> min per window of w -> distinct selected values
@@ -152,6 +158,13 @@ def ensure_docs_oracle_tables(base: str = DOCS_BASE,
         "winnow": pd.DataFrame(
             win_rows, columns=["doc_id", "fp"]).astype(
             {"doc_id": "int64", "fp": "int64"}),
+        # DSIR twin: every distinct gate-corpus token -> its hashed-ngram
+        # bucket pmod(xxhash64(token), DSIR_BUCKETS); Python % on the
+        # signed value IS Spark's pmod (both floor-mod toward +)
+        "token_buckets": pd.DataFrame(
+            [{"term": t, "bucket": spark_xxhash64_str(t) % DSIR_BUCKETS}
+             for t in sorted(vocab)],
+            columns=["term", "bucket"]).astype({"bucket": "int64"}),
     }
     for name, pdf in tables.items():
         d = os.path.join(base, name)

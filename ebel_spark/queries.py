@@ -1283,6 +1283,142 @@ def doc_unigram_logprob(spark, sf_dir):
     return T.unigram_logprob(d, "doc_id", "text", decimals=4)
 
 
+#: shared DuckDB CTE body for the DSIR queries: token->bucket mapping via
+#: the driver-side xxhash64 twin table, both distribution estimates, and the
+#: per-bucket scaled-long log-ratio fold
+_DSIR_CTES = """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+         AS term
+  FROM documents
+), bt AS (
+  SELECT t.doc_id, t.is_target, tb.bucket
+  FROM toks t JOIN read_parquet(
+    '/tmp/ebel_spark_oracle_docs_v1/token_buckets/*.parquet') tb
+  USING (term)
+), raw AS (
+  SELECT bucket, count(*) AS craw FROM bt GROUP BY bucket
+), tgt AS (
+  SELECT bucket, count(*) AS ctgt FROM bt WHERE is_target GROUP BY bucket
+), tot AS (
+  SELECT (SELECT CAST(sum(craw) AS BIGINT) FROM raw) AS traw,
+         (SELECT CAST(coalesce(sum(ctgt), 0) AS BIGINT) FROM tgt) AS ttgt
+), dist AS (
+  SELECT r.bucket,
+         CAST(floor(
+           (ln((coalesce(g.ctgt, 0) + 1.0) / (tot.ttgt + 256.0))
+            - ln((r.craw + 1.0) / (tot.traw + 256.0)))
+           * 1000000000.0) AS BIGINT) AS s
+  FROM raw r LEFT JOIN tgt g USING (bucket) CROSS JOIN tot
+)"""
+
+#: the per-document weight aggregation over _DSIR_CTES
+_DSIR_WEIGHTS_SELECT = """
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(s) / 1000000000.0, 6) AS log_weight
+FROM bt JOIN dist USING (bucket) GROUP BY doc_id"""
+
+
+@q("doc_dsir_weights", _DSIR_CTES + _DSIR_WEIGHTS_SELECT)
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR importance-resampling weights (ops/text.dsir_importance):
+    hashed-unigram bucket log-likelihood ratio of the target domain
+    (lang='en') vs the raw corpus, the Xie et al. 2023 data-selection
+    signal.  The oracle maps tokens to buckets through a driver-side
+    xxhash64-twin table (oracle_docs.token_buckets) and re-runs the
+    distribution estimate + scaled-long fold in plain SQL."""
+    d = _tw(spark, sf_dir, "documents")
+    return T.dsir_importance(d, "doc_id", "text",
+                             target=F.col("lang") == "en",
+                             n_buckets=256, alpha=1.0, decimals=6)
+
+
+@q("doc_dsir_resample", _DSIR_CTES + """, w AS (""" + _DSIR_WEIGHTS_SELECT + """
+), g AS (
+  SELECT doc_id, n_tokens, log_weight,
+         round(log_weight - ln(-ln(
+           (('0x' || substr(md5('gum:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              ::UBIGINT::DOUBLE + 0.5) / 4294967296.0)), 9) AS gumbel_key
+  FROM w
+)
+SELECT doc_id, n_tokens, log_weight, gumbel_key
+FROM g ORDER BY gumbel_key DESC, doc_id ASC LIMIT 50
+""")
+def doc_dsir_resample(spark, sf_dir):
+    """The DSIR end-use: importance RESAMPLING — Gumbel-top-k over the
+    hashed-ngram log-weights (ops/sample.gumbel_topk_sample composed on
+    ops/text.dsir_importance), a without-replacement draw with inclusion
+    probability proportional to exp(log_weight), never exponentiating.
+    Both stages are independently oracled; this query checks their
+    composition (the reshaped 50-doc sample) cell-exactly."""
+    d = _tw(spark, sf_dir, "documents")
+    w = T.dsir_importance(d, "doc_id", "text",
+                          target=F.col("lang") == "en",
+                          n_buckets=256, alpha=1.0, decimals=6)
+    return (S.gumbel_topk_sample(w, F.col("log_weight"), k=50)
+            .select("doc_id", "n_tokens", "log_weight", "gumbel_key"))
+
+
+def _gopher_oracle_sql() -> str:
+    from .ops.text import GOPHER_STOPS
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), w -> w <> '')
+           AS words,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
+           AS lines,
+         length(text)
+           - length(replace(replace(text, '#', ''), '…', '')) AS n_sym,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+              AS BIGINT) / len(words) AS mwl,
+         n_sym / len(words) AS sym,
+         CASE WHEN len(lines) > 0 THEN
+           len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
+             / len(lines) ELSE 0.0 END AS bul,
+         CASE WHEN len(lines) > 0 THEN
+           len(list_filter(lines,
+               l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+             / len(lines) ELSE 0.0 END AS ell,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+           / len(words) AS alp,
+         len(list_intersect(list_distinct(toks), [{stops}])) AS stop_hits
+  FROM base
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(mwl, 6) AS mean_word_len, round(sym, 6) AS symbol_ratio,
+       round(bul, 6) AS bullet_frac, round(ell, 6) AS ellipsis_frac,
+       round(alp, 6) AS alpha_word_frac,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       (n_words >= 50 AND n_words <= 100000
+        AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.1
+        AND bul <= 0.9 AND ell <= 0.3 AND alp >= 0.8
+        AND stop_hits >= 2) AS keep
+FROM m
+"""
+
+
+@q("doc_gopher_rules", _gopher_oracle_sql())
+def doc_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule bundle (ops/text.gopher_rules, Rae et al. 2021
+    §A1.1): the word-count / mean-word-length / symbol-ratio /
+    bullet-line / ellipsis-line / alpha-word / stop-word heuristics and
+    the conjunctive keep verdict, as one map-only column-algebra pass.
+    The oracle recomputes every rule and the verdict in SQL from the raw
+    text."""
+    d = _tw(spark, sf_dir, "documents")
+    return T.gopher_rules(d, "doc_id", "text")
+
+
 @q("doc_vocab_oov", """
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(
@@ -2993,6 +3129,162 @@ def bel_bfs_depths(spark, sf_dir):
     hub = deg.orderBy(F.desc("d"), "bel").limit(1).select("bel")
     return G.bfs_depths(e, hub, max_depth=6).select(
         "bel", F.col("dist").cast("int").alias("dist"))
+
+
+def _walks_oracle_sql(final: str = "") -> str:
+    """Chained-CTE DuckDB twin of graph.random_walks: the per-step
+    deterministic transition tables are re-derived by min-selection over
+    the driver-side xxhash64 helper (oracle_data.walk_hashes), then the
+    walk states advance through WALK_LEN 1:1 joins."""
+    from .oracle_data import WALK_LEN, WALKS_PER_NODE
+    walk_vals = ", ".join(f"({w})" for w in range(WALKS_PER_NODE))
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), n AS MATERIALIZED (SELECT u AS bel FROM e UNION SELECT v FROM e),
+wh AS MATERIALIZED (
+  SELECT * FROM read_parquet('{_OB}/walk_hashes/*.parquet')
+), s0 AS MATERIALIZED (
+  SELECT bel AS start, CAST(ws.walk AS INTEGER) AS walk, bel AS node
+  FROM n CROSS JOIN (VALUES {walk_vals}) AS ws(walk))"""
+    parts = [head]
+    for t in range(WALK_LEN):
+        parts.append(f""",
+tr{t} AS MATERIALIZED (
+  SELECT u, w, v FROM (
+    SELECT u, w, v,
+           row_number() OVER (PARTITION BY u, w ORDER BY h, v) AS rn
+    FROM wh WHERE t = {t}) WHERE rn = 1
+), s{t + 1} AS MATERIALIZED (
+  SELECT s.start, s.walk, tr.v AS node
+  FROM s{t} s JOIN tr{t} tr ON tr.u = s.node AND tr.w = s.walk)"""
+                     )
+    selects = [
+        f"SELECT start, walk, CAST({t} AS INTEGER) AS step, node FROM s{t}"
+        for t in range(WALK_LEN + 1)
+    ]
+    body = "\nUNION ALL ".join(selects)
+    if not final:
+        parts.append("\n" + body)
+    else:
+        # wrap the walk rows as one more CTE and apply the caller's tail
+        parts.append(f""",
+walks AS MATERIALIZED (
+{body}
+){final}""")
+    return "".join(parts)
+
+
+def _hits_oracle_sql(iters: int = 5) -> str:
+    """Chained-CTE DuckDB twin of graph.hits: the same L1-normalized
+    hub/authority fixed point unrolled, normalizers as scalar subqueries
+    in the same IEEE order (neighbor sum, then divide by the total)."""
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), n AS MATERIALIZED (SELECT u AS bel FROM e UNION SELECT v FROM e),
+h0 AS MATERIALIZED (SELECT bel, 1.0 AS hub FROM n)"""
+    parts = [head]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+ar{k} AS MATERIALIZED (
+  SELECT e.v AS bel, sum(h.hub) AS a_raw
+  FROM e JOIN h{p} h ON h.bel = e.u GROUP BY e.v
+), a{k} AS MATERIALIZED (
+  SELECT n.bel,
+         coalesce(ar.a_raw, 0.0) / (SELECT sum(a_raw) FROM ar{k}) AS auth
+  FROM n LEFT JOIN ar{k} ar USING (bel)
+), hr{k} AS MATERIALIZED (
+  SELECT e.u AS bel, sum(a.auth) AS h_raw
+  FROM e JOIN a{k} a ON a.bel = e.v GROUP BY e.u
+), h{k} AS MATERIALIZED (
+  SELECT n.bel,
+         coalesce(hr.h_raw, 0.0) / (SELECT sum(h_raw) FROM hr{k}) AS hub
+  FROM n LEFT JOIN hr{k} hr USING (bel))""")
+    parts.append(f"""
+SELECT h.bel, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+FROM h{iters} h JOIN a{iters} a USING (bel)""")
+    return "".join(parts)
+
+
+@q("bel_hits", _hits_oracle_sql())
+def bel_hits(spark, sf_dir):
+    """HITS hubs/authorities over the constructed KG (graph.hits, 5
+    L1-normalized iterations) — which nodes point at the important
+    targets (hubs) and which ARE the targets (authorities).  The oracle
+    unrolls the identical fixed point into chained SQL CTEs, full-value
+    checked at 6 decimals like pagerank."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    h = G.hits(e, iters=5)
+    return h.select("bel", F.round("hub", 6).alias("hub"),
+                    F.round("auth", 6).alias("auth"))
+
+
+@q("bel_random_walks", _walks_oracle_sql())
+def bel_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style walk corpus over the constructed KG
+    (graph.random_walks): the skip-gram training-sequence generator for
+    node embeddings, with hashing in place of randomness so the corpus is
+    partitioning-independent.  The oracle re-derives every per-step
+    transition choice from the driver-side xxhash64 helper table and
+    replays the walks as chained SQL joins — a full-value check of each
+    hop of each walk."""
+    from . import graph as G
+    from . import parse as P
+    from .oracle_data import WALK_LEN, WALKS_PER_NODE, ensure_walk_tables
+    ensure_walk_tables()
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    return G.random_walks(e, walks_per_node=WALKS_PER_NODE,
+                          walk_len=WALK_LEN)
+
+
+@q("bel_walk_pairs", _walks_oracle_sql(final="""
+SELECT a.node AS center, b.node AS context,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.start = b.start AND a.walk = b.walk
+ AND abs(a.step - b.step) <= 2 AND a.step <> b.step
+GROUP BY a.node, b.node"""))
+def bel_walk_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair counts from the deterministic
+    walk corpus (graph.skipgram_pairs, window 2) — the actual training
+    examples a node-embedding job consumes.  The per-walk self-join fans
+    out at most (walk_len+1)^2 rows per walk and partitions on
+    (start, walk), so it stays bounded at any corpus size.  The oracle
+    replays the walks AND the pair window in SQL."""
+    from . import graph as G
+    from . import parse as P
+    from .oracle_data import WALK_LEN, WALKS_PER_NODE, ensure_walk_tables
+    ensure_walk_tables()
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    w = G.random_walks(e, walks_per_node=WALKS_PER_NODE,
+                       walk_len=WALK_LEN)
+    return G.skipgram_pairs(w, window=2)
 
 
 def _kcore_oracle_sql(k: int = 2, rounds: int = 6) -> str:

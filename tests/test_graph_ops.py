@@ -376,3 +376,75 @@ class TestReliableCheckpoint:
         assert pr_ckpt == pr_local
         assert cc_ckpt == cc_local
         assert sc.getCheckpointDir() is None
+
+
+class TestRandomWalks:
+    def test_walks_follow_edges_and_stop_at_sinks(self, spark):
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+        rows = G.random_walks(e, walks_per_node=2, walk_len=3).collect()
+        edges = {("a", "b"), ("b", "c"), ("a", "c")}
+        walks = {}
+        for r in rows:
+            walks.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["node"]
+        # every (node, walk) pair starts at itself
+        for (start, w), path in walks.items():
+            assert path[0] == start
+            for t in range(1, max(path) + 1):
+                assert (path[t - 1], path[t]) in edges
+        # c is a sink: its walks are just the start row
+        assert max(walks[("c", 0)]) == 0
+        # a has out-degree 2 at every step, so its walks always reach len 3
+        # unless they hit the sink c
+        assert ("a", 0) in walks and ("a", 1) in walks
+
+    def test_deterministic_across_runs_and_partitionings(self, spark):
+        pairs = [(f"n{i}", f"n{(i * 3 + 1) % 7}") for i in range(7)] + \
+                [(f"n{i}", f"n{(i + 2) % 7}") for i in range(7)]
+        e1 = _edges(spark, pairs)
+        e2 = _edges(spark, pairs).repartition(5)
+        k = lambda rows: sorted(map(tuple, rows))
+        r1 = k(G.random_walks(e1, 2, 3).collect())
+        r2 = k(G.random_walks(e2, 2, 3).collect())
+        assert r1 == r2
+
+
+class TestHits:
+    def test_star_graph_authority_concentrates(self, spark):
+        # a,b,c all point at z: z is the sole authority, a/b/c equal hubs
+        e = _edges(spark, [("a", "z"), ("b", "z"), ("c", "z")])
+        got = {r["bel"]: (round(r["hub"], 6), round(r["auth"], 6))
+               for r in G.hits(e, iters=3).collect()}
+        assert got["z"] == (0.0, 1.0)
+        third = round(1 / 3, 6)
+        for n in ("a", "b", "c"):
+            assert got[n][1] == 0.0
+            assert abs(got[n][0] - third) < 1e-6
+
+    def test_l1_normalized_each_iteration(self, spark):
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")])
+        rows = G.hits(e, iters=5).collect()
+        assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
+        assert abs(sum(r["auth"] for r in rows) - 1.0) < 1e-9
+
+
+class TestSkipgramPairs:
+    def test_window_pairs_on_fixed_chain(self, spark):
+        # one deterministic walk a->b->c (plus b,c's own short walks):
+        # hand-build the walk frame directly to pin the pair window
+        rows = [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"),
+                ("z", 0, 0, "z")]
+        w = spark.createDataFrame(
+            rows, "start string, walk int, step int, node string")
+        got = {(r["center"], r["context"]): r["n_pairs"]
+               for r in G.skipgram_pairs(w, window=2).collect()}
+        # all ordered pairs within distance 2 of the a-walk; z alone = none
+        assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "c"): 1,
+                       ("c", "a"): 1, ("b", "c"): 1, ("c", "b"): 1}
+
+    def test_window_1_excludes_distance_2(self, spark):
+        rows = [("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c")]
+        w = spark.createDataFrame(
+            rows, "start string, walk int, step int, node string")
+        got = {(r["center"], r["context"])
+               for r in G.skipgram_pairs(w, window=1).collect()}
+        assert ("a", "c") not in got and ("b", "c") in got

@@ -1094,3 +1094,77 @@ class TestSkew:
                           n_salts=4, how="left").collect()
         by_k = {r.k: r.payload for r in got}
         assert len(got) == 3 and by_k[99] is None
+
+
+class TestDsir:
+    def _docs(self, spark):
+        rows = [
+            # target-domain docs talk about cats; off-domain about quarks
+            (1, "the cat sat on the mat with the cat", "en"),
+            (2, "cat and cat and more cat here", "en"),
+            (3, "quark gluon plasma quark lattice", "de"),
+            (4, "quark quark gluon field theory", "de"),
+            (5, "cat quark mixed content doc", "fr"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+
+    def test_target_like_docs_score_higher(self, spark):
+        d = self._docs(spark)
+        got = {r["doc_id"]: r["log_weight"]
+               for r in T.dsir_importance(
+                   d, target=F.col("lang") == "en").collect()}
+        # pure-target docs beat the mixed doc, which beats pure off-domain
+        assert got[1] > got[5] > got[3]
+        assert got[2] > got[4]
+
+    def test_partitioning_independent(self, spark):
+        d = self._docs(spark)
+        a = sorted(map(tuple, T.dsir_importance(
+            d, target=F.col("lang") == "en").collect()))
+        b = sorted(map(tuple, T.dsir_importance(
+            d.repartition(7), target=F.col("lang") == "en").collect()))
+        assert a == b
+
+    def test_uniform_target_gives_zero_weights(self, spark):
+        # target == everything: p_t == p_r exactly, all log-ratios 0
+        d = self._docs(spark)
+        rows = T.dsir_importance(d, target=F.lit(True)).collect()
+        assert rows and all(r["log_weight"] == 0.0 for r in rows)
+
+
+class TestGopherRules:
+    def test_rule_components_and_verdict(self, spark):
+        good = "The quick brown fox jumps with energy and grace. " * 12
+        bullets = "\n".join("- item %d" % i for i in range(20))
+        symbols = ("# " * 60) + "the be to of and that have with"
+        short = "too short to keep"
+        d = spark.createDataFrame(
+            [(1, good), (2, bullets), (3, symbols), (4, short)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in T.gopher_rules(d).collect()}
+        assert got[1]["keep"] is True
+        assert got[2]["bullet_frac"] == 1.0 and got[2]["keep"] is False
+        assert got[3]["symbol_ratio"] > 0.1 and got[3]["keep"] is False
+        assert got[4]["n_words"] < 50 and got[4]["keep"] is False
+
+    def test_stop_hits_counts_distinct_required_stops(self, spark):
+        d = spark.createDataFrame(
+            [(1, "the the the"), (2, "the be to of")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["stop_hits"]
+               for r in T.gopher_rules(d).collect()}
+        assert got == {1: 1, 2: 4}
+
+
+class TestGumbelTopk:
+    def test_extreme_weights_dominate_and_deterministic(self, spark):
+        from ebel_spark.ops import sample as S2
+        # 5 docs with log-weight 50 (astronomically favored) + 45 at -50
+        rows = [(i, 50.0 if i < 5 else -50.0) for i in range(50)]
+        d = spark.createDataFrame(rows, "doc_id long, log_weight double")
+        got = S2.gumbel_topk_sample(d, F.col("log_weight"), k=5).collect()
+        assert sorted(r["doc_id"] for r in got) == [0, 1, 2, 3, 4]
+        again = S2.gumbel_topk_sample(
+            d.repartition(7), F.col("log_weight"), k=5).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
