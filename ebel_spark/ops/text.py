@@ -918,3 +918,38 @@ def gopher_rules(
         F.round("_alp", decimals).alias("alpha_word_frac"),
         "stop_hits", keep.alias("keep"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    lang_col: str = "lang", n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    rank every document by its LM negative log-likelihood WITHIN its
+    language and cut into `n_buckets` equal tiles — head (most fluent),
+    middle, tail.  CCNet uses a KenLM 5-gram; here the LM is the corpus's
+    own add-one unigram model (unigram_logprob), which keeps the operator
+    self-contained while preserving the pipeline shape: score, per-lang
+    ntile, label.
+
+    Ties are pinned by (nll, id) so the tile boundaries are reproducible
+    across engines.  Shape at scale: the scoring passes of
+    unigram_logprob plus ONE per-language window — partitioned by lang,
+    so the sort parallelizes per language rather than globally; languages
+    are the natural coarse key of a multilingual corpus, with skew (the
+    English pile) handled by the fact that ntile needs only a per-lang
+    sort, i.e. a range-partitioned sort-within-lang at extreme sizes."""
+    labels = {1: "head", 2: "middle", 3: "tail"}
+    nll = unigram_logprob(df, id_col, text_col, decimals=4)
+    j = df.select(F.col(id_col), F.col(lang_col)).join(nll, id_col)
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("nll").asc(), F.col(id_col).asc())
+    b = F.ntile(n_buckets).over(w)
+    expr = None
+    for idx in range(n_buckets, 0, -1):
+        name = labels.get(idx, f"b{idx}")
+        expr = (F.when(b == idx, F.lit(name)) if expr is None
+                else expr.when(b == idx, F.lit(name)))
+    return j.select(
+        F.col(id_col), F.col(lang_col), "n_tokens", "nll",
+        b.cast("int").alias("bucket_idx"), expr.alias("bucket"))

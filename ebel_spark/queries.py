@@ -1255,7 +1255,9 @@ def doc_tfidf_topk(spark, sf_dir):
     return T.tfidf_topk(d, "doc_id", "text", k=5, decimals=4)
 
 
-@q("doc_unigram_logprob", """
+#: shared DuckDB CTE body for the unigram-LM queries (doc_unigram_logprob
+#: and the CCNet-style per-language buckets)
+_UNIGRAM_CTES = """
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(
            string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
@@ -1270,11 +1272,38 @@ WITH toks AS (
          CAST(floor(-ln((tc.cnt + 1.0) / (tot.total + tot.vocab))
                     * 1000000000.0) AS BIGINT) AS s
   FROM toks t JOIN tc USING (term) CROSS JOIN tot
-)
+)"""
+
+_UNIGRAM_SELECT = """
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(sum(s) / (1000000000.0 * count(*)), 4) AS nll
-FROM scored GROUP BY doc_id
+FROM scored GROUP BY doc_id"""
+
+
+@q("doc_ccnet_buckets", _UNIGRAM_CTES + """, nllt AS (""" + _UNIGRAM_SELECT + """
+)
+SELECT d.doc_id, d.lang, n.n_tokens, n.nll,
+       CAST(ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY n.nll ASC, d.doc_id ASC) AS INTEGER)
+         AS bucket_idx,
+       CASE ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY n.nll ASC, d.doc_id ASC)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket
+FROM documents d JOIN nllt n USING (doc_id)
 """)
+def doc_ccnet_buckets(spark, sf_dir):
+    """CCNet-style per-language quality terciles (ops/text.ccnet_buckets,
+    Wenzek et al. 2020): rank documents by LM perplexity WITHIN each
+    language, cut head/middle/tail — the curation scheme CommonCrawl
+    corpora ship with.  Tie order pinned by (nll, doc_id) so the tile
+    boundaries are engine-reproducible; the oracle re-runs the scoring
+    and the per-lang NTILE in SQL."""
+    d = _tw(spark, sf_dir, "documents")
+    return T.ccnet_buckets(d, "doc_id", "text", "lang", n_buckets=3)
+
+
+@q("doc_unigram_logprob", _UNIGRAM_CTES + _UNIGRAM_SELECT)
 def doc_unigram_logprob(spark, sf_dir):
     """Corpus-unigram NLL quality signal (ops/text.unigram_logprob):
     perplexity-style outlier scoring with an exact scaled-integer fold so

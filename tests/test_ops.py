@@ -1168,3 +1168,30 @@ class TestGumbelTopk:
         again = S2.gumbel_topk_sample(
             d.repartition(7), F.col("log_weight"), k=5).collect()
         assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+class TestCcnetBuckets:
+    def test_per_lang_terciles_and_labels(self, spark):
+        rows = []
+        # 6 english docs with strictly increasing repetition of a rare
+        # token -> strictly ordered nll; 3 german docs
+        for i in range(6):
+            rows.append((i, "common words here " * 3 + f"rare{i} " * (i + 1),
+                         "en"))
+        for i in range(6, 9):
+            rows.append((i, "deutsche worte hier " * (i - 4), "de"))
+        d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = {r["doc_id"]: r for r in T.ccnet_buckets(d).collect()}
+        # each lang gets its own independent tiles
+        en = [got[i]["bucket"] for i in sorted(got) if got[i]["lang"] == "en"]
+        assert sorted(set(en)) == ["head", "middle", "tail"]
+        assert en.count("head") == 2 and en.count("tail") == 2
+        de = [got[i]["bucket"] for i in sorted(got) if got[i]["lang"] == "de"]
+        assert sorted(set(de)) == ["head", "middle", "tail"]
+
+    def test_bucket_follows_nll_order_within_lang(self, spark):
+        rows = [(i, "x " * 5 + f"tok{i} " * (i + 1), "en") for i in range(6)]
+        d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        by_nll = sorted(T.ccnet_buckets(d).collect(), key=lambda r: (r["nll"], r["doc_id"]))
+        idxs = [r["bucket_idx"] for r in by_nll]
+        assert idxs == sorted(idxs)
