@@ -857,7 +857,8 @@ def random_walks(
     h = F.xxhash64(F.concat_ws(
         "|", F.col("u"), F.col("walk").cast("string"),
         F.col("t").cast("string"), F.col("v")))
-    trans = (
+    from .ops.dedup import _pin  # lazy: dedup imports graph.cut_lineage
+    trans = _pin(
         e.select("u", "v", F.explode(walk_ids).alias("walk"))
         .select("u", "v", "walk", F.explode(steps).alias("t"))
         .withColumn("rn", F.row_number().over(
@@ -866,7 +867,6 @@ def random_walks(
         .filter(F.col("rn") == 1)
         .select(F.col("u").alias("node"), "walk", "t",
                 F.col("v").alias("nxt"))
-        .persist()
     )
     for t in range(walk_len):
         cur = (

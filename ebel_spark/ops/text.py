@@ -799,14 +799,14 @@ def dsir_importance(
     """
     if target is None:
         target = F.lit(True)
-    bc = (
+    from .dedup import _pin
+    bc = _pin(
         df.select(
             F.col(id_col).alias("id"), target.alias("is_target"),
             F.explode(tokens(F.col(text_col))).alias("term"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
         .groupBy("id", "is_target", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
     raw = bc.groupBy("bucket").agg(F.sum("c").alias("craw"))
     tgt = (bc.filter("is_target")
@@ -870,11 +870,21 @@ def gopher_rules(
     n_words = F.size(words)
     sum_len = F.aggregate(words, F.lit(0).cast("long"),
                           lambda acc, w: acc + F.length(w))
-    mean_wl = sum_len / n_words
-    n_symbols = (F.length(c)
-                 - F.length(F.replace(F.replace(c, F.lit("#"), F.lit("")),
-                                      F.lit("…"), F.lit(""))))
-    symbol_ratio = n_symbols / n_words
+    # empty/whitespace-only docs: n_words == 0 — guard every /n_words
+    # ratio (Spark 4 runs ANSI mode where x/0 raises; DuckDB's twin uses
+    # the same explicit CASE so both sides agree on NULL), and the keep
+    # verdict stays deterministically FALSE via the n_words >= min_words
+    # conjunct (FALSE AND NULL = FALSE in both engines)
+    mean_wl = F.when(n_words > 0, sum_len / n_words)
+    # '#' plus BOTH ellipsis forms — the ASCII three-dot counts as one
+    # symbol occurrence, mirroring the Unicode char
+    n_symbols = (
+        F.length(c)
+        - F.length(F.replace(F.replace(c, F.lit("#"), F.lit("")),
+                             F.lit("…"), F.lit("")))
+        + (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit(""))))
+        / F.lit(3))
+    symbol_ratio = F.when(n_words > 0, n_symbols / n_words)
     lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
     n_lines = F.size(lines)
     bullet_frac = (
@@ -884,7 +894,8 @@ def gopher_rules(
         F.size(F.filter(lines,
                         lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
         / n_lines)
-    alpha_frac = (
+    alpha_frac = F.when(
+        n_words > 0,
         F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words)
     stop_hits = F.size(F.array_intersect(
         F.array_distinct(tokens(c)),
@@ -939,17 +950,17 @@ def ccnet_buckets(
     are the natural coarse key of a multilingual corpus, with skew (the
     English pile) handled by the fact that ntile needs only a per-lang
     sort, i.e. a range-partitioned sort-within-lang at extreme sizes."""
-    labels = {1: "head", 2: "middle", 3: "tail"}
     nll = unigram_logprob(df, id_col, text_col, decimals=4)
     j = df.select(F.col(id_col), F.col(lang_col)).join(nll, id_col)
     w = Window.partitionBy(lang_col).orderBy(
         F.col("nll").asc(), F.col(id_col).asc())
     b = F.ntile(n_buckets).over(w)
-    expr = None
-    for idx in range(n_buckets, 0, -1):
-        name = labels.get(idx, f"b{idx}")
-        expr = (F.when(b == idx, F.lit(name)) if expr is None
-                else expr.when(b == idx, F.lit(name)))
+    # label by POSITION: the first tile is always 'head' and the LAST is
+    # always 'tail' whatever n_buckets is (a fixed {3: 'tail'} map would
+    # mislabel the third quartile of a 4-way cut as the worst tile)
+    expr = (F.when(b == 1, F.lit("head"))
+            .when(b == n_buckets, F.lit("tail"))
+            .otherwise(F.lit("middle")))
     return j.select(
         F.col(id_col), F.col(lang_col), "n_tokens", "nll",
         b.cast("int").alias("bucket_idx"), expr.alias("bucket"))

@@ -1401,16 +1401,19 @@ WITH base AS (
          list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
            AS lines,
          length(text)
-           - length(replace(replace(text, '#', ''), '…', '')) AS n_sym,
+           - length(replace(replace(text, '#', ''), '…', ''))
+           + (length(text) - length(replace(text, '...', ''))) / 3
+           AS n_sym,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                      t -> t <> '') AS toks
   FROM documents
 ), m AS (
   SELECT doc_id,
          len(words) AS n_words,
-         CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
-              AS BIGINT) / len(words) AS mwl,
-         n_sym / len(words) AS sym,
+         CASE WHEN len(words) > 0 THEN
+           CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+                AS BIGINT) / len(words) END AS mwl,
+         CASE WHEN len(words) > 0 THEN n_sym / len(words) END AS sym,
          CASE WHEN len(lines) > 0 THEN
            len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]')))
              / len(lines) ELSE 0.0 END AS bul,
@@ -1418,8 +1421,9 @@ WITH base AS (
            len(list_filter(lines,
                l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
              / len(lines) ELSE 0.0 END AS ell,
-         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
-           / len(words) AS alp,
+         CASE WHEN len(words) > 0 THEN
+           len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+             / len(words) END AS alp,
          len(list_intersect(list_distinct(toks), [{stops}])) AS stop_hits
   FROM base
 )

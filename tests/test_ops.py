@@ -1195,3 +1195,22 @@ class TestCcnetBuckets:
         by_nll = sorted(T.ccnet_buckets(d).collect(), key=lambda r: (r["nll"], r["doc_id"]))
         idxs = [r["bucket_idx"] for r in by_nll]
         assert idxs == sorted(idxs)
+
+
+class TestGopherEdgeCases:
+    def test_empty_and_whitespace_docs_do_not_crash_and_drop(self, spark):
+        d = spark.createDataFrame(
+            [(1, ""), (2, "   \n  \t "), (3, "the be to of " * 20)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in T.gopher_rules(d).collect()}
+        assert got[1]["n_words"] == 0 and got[1]["keep"] is False
+        assert got[2]["n_words"] == 0 and got[2]["keep"] is False
+        assert got[1]["mean_word_len"] is None
+        assert got[3]["keep"] is False  # mean_word_len 2.5 < 3 bound
+
+    def test_ascii_ellipsis_counts_as_symbol(self, spark):
+        text = ("what... really... is... this... even... saying... " * 10
+                + "the be to of and that have with")
+        d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = T.gopher_rules(d).collect()[0]
+        assert r["symbol_ratio"] > 0.1 and r["keep"] is False
