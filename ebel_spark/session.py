@@ -53,6 +53,15 @@ def get_spark(
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # shuffle/broadcast/spill codec: zstd trades CPU (which scales with
+        # cores) for bytes moved (DRAM bandwidth here, network/disk on a
+        # real cluster — the resources that DON'T scale per-core).  Measured
+        # on the full pipeline at 10k files: local[32] 55.2 -> 45.6 s wall
+        # (+21% throughput; edge-dedup shuffle 13.8 -> 9.7 s, rollup
+        # 7.8 -> 5.2 s) vs a ~6% regression at local[8] where bandwidth
+        # isn't saturated.  The shuffle-heavy stages are exactly where the
+        # 8->32 DRAM wall bites, so this lifts the high-parallelism end.
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # dimension tables here are all << 16 MB; a bigger threshold tempts
@@ -100,6 +109,11 @@ def get_spark(
             "-Dlog4j2.level=error -Xms"
             + os.environ.get("SPARK_DRIVER_MEM", default_mem))
     )
+    # ad-hoc conf overrides for experiments without touching callers:
+    # SPARK_GRAFT_CONF="k1=v1;k2=v2" (applied before `extra`, which wins)
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
