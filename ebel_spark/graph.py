@@ -813,6 +813,89 @@ def triangle_counts(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFra
     )
 
 
+def edge_support(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Per-undirected-edge triangle support — the k-truss building block
+    (an edge is in the k-truss iff its support is >= k-2).
+
+    Same degree-ordered compact-forward enumeration as triangle_counts
+    (each triangle found exactly once, wedge fanout bounded by O(sqrt(m))
+    per node), but instead of crediting the three NODES, each triangle
+    credits its three undirected EDGES.  All equi-joins; survives
+    power-law hubs for the same reason triangle_counts does.
+
+    Returns (a, b, support) with a < b for edges in >= 1 triangle.
+    """
+    und = undirected_edges(edges, src, dst).transform(cut_lineage)
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a", "b",
+            F.struct(F.col("da").alias("d"), F.col("a").alias("n")).alias("ka"),
+            F.struct(F.col("db").alias("d"), F.col("b").alias("n")).alias("kb"),
+        )
+    )
+    oriented = keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kt"),
+    ).transform(cut_lineage)
+    o1 = oriented.select(F.col("s"), F.col("t").alias("v"), F.col("kt").alias("kv"))
+    o2 = oriented.select(F.col("s"), F.col("t").alias("w"), F.col("kt").alias("kw"))
+    wedges = (
+        o1.join(o2, "s")
+        .filter(F.col("kv") < F.col("kw"))
+        .select("s", "v", "w")
+    )
+    closing = oriented.select(F.col("s").alias("v"), F.col("t").alias("w"))
+    tris = wedges.join(closing, ["v", "w"], "left_semi")
+    pair = (lambda x, y: F.struct(F.least(x, y).alias("a"),
+                                  F.greatest(x, y).alias("b")))
+    return (
+        tris.select(F.explode(F.array(
+            pair(F.col("s"), F.col("v")),
+            pair(F.col("s"), F.col("w")),
+            pair(F.col("v"), F.col("w")))).alias("e"))
+        .select("e.a", "e.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def cooccurrence_pmi(statements: DataFrame, subj: str = "u",
+                     obj: str = "v") -> DataFrame:
+    """Pointwise mutual information of (subject, object) entity pairs over
+    statement occurrences: pmi = ln(n(u,v) * N / (n_subj(u) * n_obj(v))).
+
+    The association-strength primitive behind KG link ranking / relation
+    calibration.  Three map-side-combinable counts and two equi-joins on
+    the pair table (the marginal tables are |V|-sized — broadcastable at
+    any corpus scale where the entity vocabulary fits an executor; the
+    pair table is never joined to itself)."""
+    s = statements.select(F.col(subj).alias("u"), F.col(obj).alias("v"))
+    pairs = s.groupBy("u", "v").agg(F.count(F.lit(1)).alias("n_uv"))
+    n_subj = s.groupBy("u").agg(F.count(F.lit(1)).alias("n_u"))
+    n_obj = s.groupBy("v").agg(F.count(F.lit(1)).alias("n_v"))
+    total = s.select(F.count(F.lit(1)).alias("n_total"))
+    return (
+        pairs.join(n_subj, "u")
+        .join(n_obj, "v")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "u", "v", "n_uv",
+            F.log(F.col("n_uv").cast("double") * F.col("n_total")
+                  / (F.col("n_u").cast("double") * F.col("n_v")))
+            .alias("pmi"),
+        )
+    )
+
+
 def random_walks(
     edges: DataFrame,
     walks_per_node: int = 2,

@@ -707,3 +707,71 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a", "b", "containment")
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    line_words: int = 3,
+    max_count: int = 3,
+) -> DataFrame:
+    """Corpus-level line deduplication (C4 / RefinedWeb-style): drop every
+    occurrence of any line that appears more than ``max_count`` times
+    across the whole corpus — the standard boilerplate filter (nav bars,
+    cookie banners, license headers) applied before document-level dedup.
+
+    Lines are fixed-width ``line_words`` word windows here because the
+    synthetic corpus carries no newline structure; on a real web corpus
+    swap the line expression for ``F.split(text, '\\n')`` — every
+    downstream step is line-definition agnostic.
+
+    Scale shape: ONE map-side-combinable groupBy(line) count builds the
+    hot-line set (bounded above by total_lines / max_count rows, and in
+    practice boilerplate-sized); membership is a left_anti equi-join that
+    AQE broadcasts when small; reassembly is a per-document groupBy whose
+    groups are document-sized.  Nothing is quadratic and no global sort
+    exists (per-doc order is restored with array_sort inside each group).
+    At web scale group lines by xxhash64(line) instead of the raw string
+    to shrink the shuffle key (not done here so the DuckDB oracle can
+    share the exact grouping key).
+
+    Returns (id_col, n_lines, n_kept, kept_text).
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.select(
+        F.col(id_col), words.alias("ws"),
+        F.ceil(F.size(words) / F.lit(float(line_words))).alias("n_lines"),
+    )
+    w = F.lit(line_words)
+    lines = F.when(F.col("n_lines") == 0, F.array().cast("array<string>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), (F.col("n_lines") - 1).cast("int")),
+            lambda i: F.array_join(F.slice(F.col("ws"), i * w + 1, w), " ")))
+    ex = base.select(
+        id_col, "n_lines", F.posexplode_outer(lines).alias("pos", "line"))
+    hot = (
+        ex.filter(F.col("line").isNotNull())
+        .groupBy("line").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_count)
+        .select("line")
+    )
+    kept = ex.filter(F.col("line").isNotNull()).join(hot, "line", "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"]),
+            " ").alias("kept_text"),
+    )
+    return (
+        base.select(id_col, "n_lines")
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )

@@ -1725,6 +1725,51 @@ def doc_repetition(spark, sf_dir):
     )
 
 
+@q("doc_line_dedup", r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+  FROM documents
+), ln AS (
+  SELECT doc_id, CAST(ceil(len(ws) / 3.0) AS BIGINT) AS n_lines, ws FROM w
+), ex0 AS (
+  SELECT doc_id,
+         unnest(CASE WHEN n_lines = 0 THEN [] ELSE
+           list_transform(range(n_lines),
+             i -> struct_pack(p := i,
+                    l := array_to_string(ws[i*3+1 : i*3+3], ' ')))
+         END) AS g
+  FROM ln
+), ex AS (
+  SELECT doc_id, g.p AS pos, g.l AS line FROM ex0
+), hot AS (
+  SELECT line FROM ex GROUP BY line HAVING count(*) > 3
+), kept AS (
+  SELECT e.doc_id, e.pos, e.line FROM ex e
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.line = e.line)
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, ' ' ORDER BY pos) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lines,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.kept_text, '') AS kept_text
+FROM ln l LEFT JOIN agg a USING (doc_id)
+""")
+def doc_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style corpus-level line dedup: every occurrence of a
+    line appearing more than 3 times across the corpus is dropped
+    (boilerplate removal), and documents are reassembled in original line
+    order.  Lines here are fixed 3-word windows (the synthetic corpus has
+    no newlines — ops/dedup.line_dedup documents the swap to real '\\n'
+    lines).  One map-side-combined hot-line count, an anti equi-join for
+    membership, and a per-document reassembly group — no all-pairs step
+    anywhere."""
+    d = _tw(spark, sf_dir, "documents")
+    return D.line_dedup(d, "doc_id", "text", line_words=3, max_count=3)
+
+
 #: deterministic synthetic-PII injection shared by the Spark query and its
 #: oracle — the test corpus has no natural PII, so both sides append the
 #: same synthetic emails/IPs/phones before scrubbing (no external data)
@@ -3107,6 +3152,77 @@ def bel_triangle_counts(spark, sf_dir):
         .distinct()
     )
     return G.triangle_counts(e)
+
+
+@q("bel_edge_support", f"""
+WITH e0 AS (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM e0 WHERE u <> v
+), tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+  SELECT x AS a, y AS b FROM tri
+  UNION ALL SELECT x, z FROM tri
+  UNION ALL SELECT y, z FROM tri
+) GROUP BY a, b
+""")
+def bel_edge_support(spark, sf_dir):
+    """Per-edge triangle support over the constructed KG — the k-truss
+    building block (edge in k-truss iff support >= k-2), used to find
+    cohesive relation cores.  Same degree-ordered compact-forward
+    enumeration as bel_triangle_counts (graph.edge_support) but crediting
+    each triangle's three EDGES; the oracle enumerates triangles once via
+    the a<b<c three-way join and unions the three edge credits."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    return G.edge_support(e)
+
+
+@q("bel_pair_pmi", f"""
+WITH s AS (
+  SELECT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), p AS (SELECT u, v, count(*) AS n_uv FROM s GROUP BY u, v),
+nu AS (SELECT u, count(*) AS n_u FROM s GROUP BY u),
+nv AS (SELECT v, count(*) AS n_v FROM s GROUP BY v),
+t AS (SELECT count(*) AS n_total FROM s)
+SELECT u, v, CAST(n_uv AS BIGINT) AS n_uv,
+       round(ln(CAST(n_uv AS DOUBLE) * n_total
+                / (CAST(n_u AS DOUBLE) * n_v)), 6) AS pmi
+FROM p JOIN nu USING (u) JOIN nv USING (v) CROSS JOIN t
+""")
+def bel_pair_pmi(spark, sf_dir):
+    """Pointwise mutual information of (subject, object) entity pairs over
+    statement occurrences — the association-strength signal behind KG link
+    ranking (graph.cooccurrence_pmi).  Three map-side-combinable counts +
+    equi-joins on broadcastable marginal tables; the statement-level
+    counts (not distinct) weight repeated assertions."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    s = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+    )
+    return G.cooccurrence_pmi(s).select(
+        "u", "v", "n_uv", F.round("pmi", 6).alias("pmi"))
 
 
 def _bfs_oracle_sql(max_depth: int = 6) -> str:

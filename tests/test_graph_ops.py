@@ -448,3 +448,39 @@ class TestSkipgramPairs:
         got = {(r["center"], r["context"])
                for r in G.skipgram_pairs(w, window=1).collect()}
         assert ("a", "c") not in got and ("b", "c") in got
+
+
+class TestEdgeSupport:
+    def test_k4_every_edge_support_2(self, spark):
+        # K4: each edge closes a triangle with each of the 2 other nodes
+        nodes = ["a", "b", "c", "d"]
+        e = _edges(spark, [(x, y) for x in nodes for y in nodes if x < y])
+        got = {(r["a"], r["b"]): r["support"]
+               for r in G.edge_support(e).collect()}
+        assert got == {(x, y): 2 for x in nodes for y in nodes if x < y}
+
+    def test_triangle_plus_tail(self, spark):
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+        got = {(r["a"], r["b"]): r["support"]
+               for r in G.edge_support(e).collect()}
+        # tail edge (c,d) is in no triangle -> absent
+        assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        e = _edges(spark, [("b", "a"), ("a", "b"), ("c", "b"), ("a", "c")])
+        got = {(r["a"], r["b"]): r["support"]
+               for r in G.edge_support(e).collect()}
+        assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+class TestCooccurrencePmi:
+    def test_hand_computed(self, spark):
+        import math
+        s = _edges(spark, [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")])
+        got = {(r["u"], r["v"]): (r["n_uv"], r["pmi"])
+               for r in G.cooccurrence_pmi(s).collect()}
+        # N=4; n(a)=3, n(b)=1 as subjects; n(x)=2, n(y)=2 as objects
+        assert got[("a", "x")][0] == 2
+        assert got[("a", "x")][1] == pytest.approx(math.log(2 * 4 / (3 * 2)))
+        assert got[("a", "y")][1] == pytest.approx(math.log(1 * 4 / (3 * 2)))
+        assert got[("b", "y")][1] == pytest.approx(math.log(1 * 4 / (1 * 2)))

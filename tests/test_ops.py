@@ -1214,3 +1214,33 @@ class TestGopherEdgeCases:
         d = spark.createDataFrame([(1, text)], "doc_id long, text string")
         r = T.gopher_rules(d).collect()[0]
         assert r["symbol_ratio"] > 0.1 and r["keep"] is False
+
+
+class TestLineDedup:
+    def test_hot_lines_dropped_order_kept(self, spark):
+        from ebel_spark.ops.dedup import line_dedup
+        boiler = "x y z"
+        rows = [(i, f"u{i} v{i} w{i} {boiler} p{i} q{i}") for i in range(4)]
+        rows.append((99, ""))  # empty doc must survive with n_kept=0
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               line_dedup(df, "doc_id", "text", line_words=3,
+                          max_count=3).collect()}
+        assert len(out) == 5
+        # each doc: 8 words -> 3 lines; the middle line "x y z" occurs 4x
+        # across the corpus (> max_count) so every occurrence is dropped
+        for i in range(4):
+            r = out[i]
+            assert r["n_lines"] == 3 and r["n_kept"] == 2
+            assert r["kept_text"] == f"u{i} v{i} w{i} p{i} q{i}"
+        assert out[99]["n_lines"] == 0 and out[99]["n_kept"] == 0
+        assert out[99]["kept_text"] == ""
+
+    def test_below_threshold_untouched(self, spark):
+        from ebel_spark.ops.dedup import line_dedup
+        rows = [(i, "a b c d e f") for i in range(3)]  # line df == 3, not >3
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = line_dedup(df, "doc_id", "text", line_words=3,
+                         max_count=3).collect()
+        assert all(r["n_kept"] == 2 and r["kept_text"] == "a b c d e f"
+                   for r in out)
