@@ -61,6 +61,11 @@ HEADLINE_QUERIES = [
     # (per-step transition table + 1:1 state joins)
     "doc_dsir_weights",
     "bel_random_walks",
+    # round-3 session-2 additions: corpus line dedup (hot-line anti-join +
+    # per-doc reassembly) and iterative k-truss peeling (per-round triangle
+    # support recomputation)
+    "doc_line_dedup",
+    "bel_ktruss",
 ]
 
 

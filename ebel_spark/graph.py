@@ -826,6 +826,13 @@ def edge_support(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     Returns (a, b, support) with a < b for edges in >= 1 triangle.
     """
     und = undirected_edges(edges, src, dst).transform(cut_lineage)
+    return _edge_support_und(und)
+
+
+def _edge_support_und(und: DataFrame) -> DataFrame:
+    """edge_support core over an already-canonical undirected (a, b) frame
+    (distinct, a < b, no self-loops) — shared by edge_support and the
+    ktruss_peel rounds."""
     deg = (
         und.select(F.col("a").alias("n"))
         .unionAll(und.select(F.col("b").alias("n")))
@@ -865,6 +872,42 @@ def edge_support(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
         .select("e.a", "e.b")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def ktruss_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """k-truss peeling: repeatedly drop every edge whose triangle support
+    is below k-2 (`rounds` synchronous rounds — the fixed-round unrolling
+    both engines compute identically; the exact k-truss is the fixpoint).
+    The edge-centric sibling of kcore_peel: where k-core trims low-degree
+    NODES, k-truss trims edges that aren't embedded in enough triangles —
+    the standard cohesive-core extraction before relation-cluster mining.
+
+    Each round recomputes per-edge support with the compact-forward
+    enumeration (degree-ordered orientation, O(sqrt(m)) wedge fanout —
+    see edge_support) on the CURRENT edge set, then semi-joins the
+    survivors; lineage cut per round.  Returns surviving (a, b, support)
+    where support is recomputed on the final subgraph (0 for edges whose
+    last triangles dissolved in the final round).
+    """
+    e = undirected_edges(edges, src, dst).transform(cut_lineage)
+    for _ in range(rounds):
+        sup = _edge_support_und(e)
+        e = e.join(
+            sup.filter(F.col("support") >= k - 2).select("a", "b"),
+            ["a", "b"], "left_semi",
+        ).transform(cut_lineage)
+    final = _edge_support_und(e)
+    return (
+        e.join(final, ["a", "b"], "left")
+        .select("a", "b",
+                F.coalesce("support", F.lit(0)).cast("long").alias("support"))
     )
 
 
@@ -1110,6 +1153,74 @@ def label_propagation(
         if it % 2 == 1 or it == iters - 1:
             labels = cut_lineage(labels)
     return labels
+
+
+#: fixed-point scale for Adamic-Adar contributions (see adamic_adar)
+AA_SCALE = 10**12
+
+
+def aa_contrib_table(max_hub: int = 64) -> dict[int, int]:
+    """degree -> round(AA_SCALE / ln(degree)) for degrees 2..max_hub.
+
+    Computed ONCE driver-side in Python and injected as literals into
+    both the Spark plan and the DuckDB oracle, so the per-neighbor
+    Adamic-Adar contribution is the identical integer on both engines and
+    the pair score is an EXACT long sum — float summation order (the
+    usual cross-engine hash-mismatch trap for distributed float aggs)
+    never enters."""
+    import math
+    return {k: round(AA_SCALE / math.log(k)) for k in range(2, max_hub + 1)}
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_hub: int = 64,
+    min_common: int = 2,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Adamic-Adar link-prediction scores over the undirected graph:
+    aa(x, y) = sum over shared neighbors h of 1 / ln(deg(h)) — the
+    classic 'weighted common neighbors' signal for proposing missing KG
+    edges (rarely-shared neighbors count more than promiscuous hubs).
+
+    Same co-neighbor inverted index as neighbor_jaccard (never
+    all-pairs); neighbors with degree > `max_hub` are excluded from
+    candidate generation (quadratic fanout, near-zero 1/ln signal — the
+    skew guard), and degree-1 neighbors cannot be shared.  Scores are
+    exact long sums of fixed-point contributions (aa_contrib_table), so
+    the result is partitioning- and summation-order-independent.
+
+    Returns (x, y, common, aa) with x < y, common >= min_common, aa
+    rounded to 6 dp.
+    """
+    contrib = aa_contrib_table(max_hub)
+    cmap = F.create_map(
+        *[F.lit(x) for kv in contrib.items() for x in kv])
+    und = undirected_edges(edges, src, dst).transform(cut_lineage)
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("h")).unionAll(
+        und.select(F.col("b").alias("n"), F.col("a").alias("h")))
+    hub = adj.groupBy("h").agg(F.count(F.lit(1)).alias("hd"))
+    ok = hub.filter((F.col("hd") >= 2) & (F.col("hd") <= max_hub))
+    capped = (
+        adj.join(ok, "h")
+        .select("h", "n", F.element_at(cmap, F.col("hd").cast("int"))
+                .alias("c"))
+        .transform(cut_lineage)
+    )
+    return (
+        capped.select("h", "c", F.col("n").alias("x"))
+        .join(capped.select("h", F.col("n").alias("y")), "h")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"),
+             F.sum("c").alias("aa_scaled"))
+        .filter(F.col("common") >= min_common)
+        .select(
+            "x", "y", F.col("common").cast("long").alias("common"),
+            F.round(F.col("aa_scaled") / F.lit(float(AA_SCALE)), 6)
+            .alias("aa"))
+    )
 
 
 def neighbor_jaccard(

@@ -775,3 +775,41 @@ def line_dedup(
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
     )
+
+
+def boundary_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Shard-boundary duplicate detection: directed pairs (a, b) where
+    the LAST ``k`` tokens of a equal the FIRST ``k`` tokens of b — the
+    signature of one logical document split across two crawl records /
+    ingest shards (truncation + re-fetch, WARC record splits).
+
+    Each document contributes exactly one suffix-gram row and one
+    prefix-gram row, and candidates meet through an equi-join on the
+    gram — |result| candidates, never all-pairs, and the gram key is a
+    short string (hashable to a long at web scale).  Documents shorter
+    than k tokens cannot match (no padding semantics).
+
+    Returns (a, b, gram).
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = (
+        df.select(F.col(id_col).alias("id"), words.alias("ws"))
+        .filter(F.size("ws") >= k)
+        .select(
+            "id",
+            F.array_join(F.slice("ws", 1, k), " ").alias("pre"),
+            F.array_join(F.slice("ws", -k, k), " ").alias("suf"),
+        )
+    )
+    left = base.select(F.col("id").alias("a"), F.col("suf").alias("gram"))
+    right = base.select(F.col("id").alias("b"), F.col("pre").alias("gram"))
+    return (
+        left.join(right, "gram")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", "gram")
+    )

@@ -1770,6 +1770,30 @@ def doc_line_dedup(spark, sf_dir):
     return D.line_dedup(d, "doc_id", "text", line_words=3, max_count=3)
 
 
+@q("doc_boundary_overlap", r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS ws
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         array_to_string(ws[1:3], ' ') AS pre,
+         array_to_string(ws[len(ws)-2:len(ws)], ' ') AS suf
+  FROM w WHERE len(ws) >= 3
+)
+SELECT l.doc_id AS a, r.doc_id AS b, l.suf AS gram
+FROM b l JOIN b r ON l.suf = r.pre AND l.doc_id <> r.doc_id
+""")
+def doc_boundary_overlap(spark, sf_dir):
+    """Shard-boundary duplicate candidates: doc a's last-3-token gram
+    equals doc b's first-3-token gram — one logical document split across
+    two crawl records (ops/dedup.boundary_overlap_pairs).  One suffix row
+    + one prefix row per document meeting through a gram equi-join; never
+    all-pairs."""
+    d = _tw(spark, sf_dir, "documents")
+    return D.boundary_overlap_pairs(d, "doc_id", "text", k=3)
+
+
 #: deterministic synthetic-PII injection shared by the Spark query and its
 #: oracle — the test corpus has no natural PII, so both sides append the
 #: same synthetic emails/IPs/phones before scrubbing (no external data)
@@ -3193,6 +3217,71 @@ def bel_edge_support(spark, sf_dir):
     return G.edge_support(e)
 
 
+def _ktruss_oracle_sql(k: int = 3, rounds: int = 3) -> str:
+    """Chained-CTE DuckDB twin of graph.ktruss_peel: per round, enumerate
+    triangles once via the a<b<c three-way join, aggregate per-edge
+    support, and keep edges with support >= k-2; a final support pass
+    annotates the survivors (all MATERIALIZED — each round's edge set
+    feeds three self-join references in the next)."""
+    parts = [f"""
+WITH e0 AS (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), und0 AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM e0 WHERE u <> v
+)"""]
+    for r in range(rounds + 1):
+        cur = f"und{r}"
+        tag = "f" if r == rounds else str(r)
+        parts.append(f""",
+tri{tag} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM {cur} e1
+  JOIN {cur} e2 ON e2.a = e1.b
+  JOIN {cur} e3 ON e3.a = e1.a AND e3.b = e2.b
+), sup{tag} AS MATERIALIZED (
+  SELECT a, b, count(*) AS support FROM (
+    SELECT x AS a, y AS b FROM tri{tag}
+    UNION ALL SELECT x, z FROM tri{tag}
+    UNION ALL SELECT y, z FROM tri{tag}
+  ) GROUP BY a, b
+)""")
+        if r < rounds:
+            parts.append(f""",
+und{r + 1} AS MATERIALIZED (
+  SELECT u.a, u.b FROM {cur} u
+  JOIN sup{tag} s ON s.a = u.a AND s.b = u.b
+  WHERE s.support >= {k - 2}
+)""")
+    parts.append(f"""
+SELECT u.a, u.b, CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+FROM und{rounds} u
+LEFT JOIN supf s ON s.a = u.a AND s.b = u.b""")
+    return "".join(parts)
+
+
+@q("bel_ktruss", _ktruss_oracle_sql())
+def bel_ktruss(spark, sf_dir):
+    """3-truss extraction over the constructed KG (3 peel rounds): the
+    iterative edge-centric cohesion algorithm (graph.ktruss_peel) —
+    support recomputed per round with the compact-forward triangle
+    enumeration, edges below support k-2 dropped synchronously.  The
+    oracle unrolls the identical rounds into chained CTEs, so the
+    iterative op gets a full-value check like bel_kcore/bel_pagerank."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    return G.ktruss_peel(e, k=3, rounds=3)
+
+
 @q("bel_pair_pmi", f"""
 WITH s AS (
   SELECT subject_bel AS u, object_bel AS v
@@ -3692,6 +3781,62 @@ def bel_neighbor_jaccard(spark, sf_dir):
         .distinct()
     )
     return G.neighbor_jaccard(e, threshold=0.5, max_hub=64)
+
+
+def _aa_oracle_sql(max_hub: int = 64, min_common: int = 2) -> str:
+    """DuckDB twin of graph.adamic_adar.  The per-degree 1/ln(deg)
+    contributions are the SAME driver-computed fixed-point longs the
+    Spark plan embeds (graph.aa_contrib_table), so the pair score is an
+    exact integer sum on both engines — no float summation order."""
+    from .graph import aa_contrib_table
+    contrib = aa_contrib_table(max_hub)
+    case = "CASE hd " + " ".join(
+        f"WHEN {k} THEN CAST({v} AS BIGINT)" for k, v in contrib.items()
+    ) + " END"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM e0 WHERE u <> v
+), adj AS MATERIALIZED (
+  SELECT a AS n, b AS h FROM und UNION ALL SELECT b, a FROM und
+), hub AS MATERIALIZED (
+  SELECT h, count(*) AS hd FROM adj GROUP BY h
+), capped AS MATERIALIZED (
+  SELECT adj.h, adj.n, {case} AS c
+  FROM adj JOIN hub USING (h)
+  WHERE hd >= 2 AND hd <= {max_hub}
+)
+SELECT a1.n AS x, a2.n AS y,
+       CAST(count(*) AS BIGINT) AS common,
+       round(sum(a1.c) / 1e12, 6) AS aa
+FROM capped a1 JOIN capped a2 ON a1.h = a2.h AND a1.n < a2.n
+GROUP BY a1.n, a2.n
+HAVING count(*) >= {min_common}
+"""
+
+
+@q("bel_adamic_adar", _aa_oracle_sql())
+def bel_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction over the constructed KG: candidate
+    missing edges ranked by sum(1/ln(deg(shared neighbor))) via the same
+    co-neighbor inverted index as bel_neighbor_jaccard
+    (graph.adamic_adar).  Contributions ride as driver-computed
+    fixed-point longs on BOTH engines, so the distributed sum is exact
+    and order-independent."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    return G.adamic_adar(e, max_hub=64, min_common=2)
 
 
 @q("bel_ambiguity_warnings", f"""

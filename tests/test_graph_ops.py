@@ -484,3 +484,49 @@ class TestCooccurrencePmi:
         assert got[("a", "x")][1] == pytest.approx(math.log(2 * 4 / (3 * 2)))
         assert got[("a", "y")][1] == pytest.approx(math.log(1 * 4 / (3 * 2)))
         assert got[("b", "y")][1] == pytest.approx(math.log(1 * 4 / (1 * 2)))
+
+
+class TestKTruss:
+    def test_k4_stable_under_4truss(self, spark):
+        # K4 edges each have support 2; a pendant triangle (support-1
+        # edges) is peeled in round 1 and K4 is the stable 4-truss
+        nodes = ["a", "b", "c", "d"]
+        e = _edges(spark, [(x, y) for x in nodes for y in nodes if x < y]
+                   + [("d", "e"), ("d", "f"), ("e", "f")])
+        got = {(r["a"], r["b"]): r["support"]
+               for r in G.ktruss_peel(e, k=4, rounds=3).collect()}
+        assert got == {(x, y): 2 for x in nodes for y in nodes if x < y}
+
+    def test_cascade_dissolves_diamond(self, spark):
+        # two triangles sharing edge (b,c): only (b,c) has support 2, but
+        # after round 1 drops the support-1 edges, (b,c) has no triangle
+        # left -> dropped in round 2 (the cascade k-core can't see)
+        e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"),
+                           ("b", "d"), ("c", "d")])
+        assert G.ktruss_peel(e, k=4, rounds=3).count() == 0
+
+    def test_3truss_keeps_triangle_edges(self, spark):
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")])
+        got = {(r["a"], r["b"]): r["support"]
+               for r in G.ktruss_peel(e, k=3, rounds=2).collect()}
+        assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+
+class TestAdamicAdar:
+    def test_hand_computed_square(self, spark):
+        import math
+        # square a-b-c-d-a: (a,c) share {b,d}, (b,d) share {a,c}; all
+        # degrees 2 -> aa = 2/ln(2) for both pairs
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+        got = {(r["x"], r["y"]): (r["common"], r["aa"])
+               for r in G.adamic_adar(e, min_common=2).collect()}
+        want = round(2 * round(10**12 / math.log(2)) / 1e12, 6)
+        assert got == {("a", "c"): (2, want), ("b", "d"): (2, want)}
+
+    def test_hub_cap_excludes_super_hub(self, spark):
+        # star center h connects x1..x5 -> every pair shares only h;
+        # with max_hub=4 the center (degree 5) is excluded -> no pairs
+        e = _edges(spark, [("h", f"x{i}") for i in range(5)])
+        assert G.adamic_adar(e, max_hub=4, min_common=1).count() == 0
+        # with the cap raised the 10 pairs appear
+        assert G.adamic_adar(e, max_hub=8, min_common=1).count() == 10

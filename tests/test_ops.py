@@ -1244,3 +1244,18 @@ class TestLineDedup:
                          max_count=3).collect()
         assert all(r["n_kept"] == 2 and r["kept_text"] == "a b c d e f"
                    for r in out)
+
+
+class TestBoundaryOverlap:
+    def test_suffix_matches_prefix(self, spark):
+        from ebel_spark.ops.dedup import boundary_overlap_pairs
+        df = spark.createDataFrame(
+            [(1, "aa bb cc dd ee"),   # suffix "cc dd ee"
+             (2, "cc dd ee ff gg"),   # prefix "cc dd ee" -> pair (1, 2)
+             (3, "zz yy"),            # < k tokens: cannot match
+             (4, "ee ff gg hh")],     # prefix "ee ff gg" matches 2's suffix
+            "doc_id long, text string")
+        got = {(r["a"], r["b"]): r["gram"]
+               for r in boundary_overlap_pairs(
+                   df, "doc_id", "text", k=3).collect()}
+        assert got == {(1, 2): "cc dd ee", (2, 4): "ee ff gg"}
