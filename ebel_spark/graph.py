@@ -890,22 +890,70 @@ def ktruss_peel(
     the standard cohesive-core extraction before relation-cluster mining.
 
     Each round recomputes per-edge support with the compact-forward
-    enumeration (degree-ordered orientation, O(sqrt(m)) wedge fanout —
-    see edge_support) on the CURRENT edge set, then semi-joins the
-    survivors; lineage cut per round.  Returns surviving (a, b, support)
-    where support is recomputed on the final subgraph (0 for edges whose
-    last triangles dissolved in the final round).
+    enumeration on the CURRENT edge set, then semi-joins the survivors;
+    lineage cut per round.  The graph is ORIENTED ONCE by initial
+    (degree, id) — correctness of the enumeration needs only a fixed
+    total order on nodes, and peeling never invalidates it; skipping the
+    per-round degree aggregation + re-orientation saves ~3 shuffles per
+    round (support VALUES are orientation-independent, so the SQL twin
+    is unaffected).  Returns surviving (a, b, support) where support is
+    recomputed on the final subgraph (0 for edges whose last triangles
+    dissolved in the final round).
     """
-    e = undirected_edges(edges, src, dst).transform(cut_lineage)
+    und = undirected_edges(edges, src, dst).transform(cut_lineage)
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a", "b",
+            F.struct(F.col("da").alias("d"), F.col("a").alias("n")).alias("ka"),
+            F.struct(F.col("db").alias("d"), F.col("b").alias("n")).alias("kb"),
+        )
+    )
+    o = keyed.select(
+        "a", "b",
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kt"),
+    ).transform(cut_lineage)
+
+    def support_of(ori):
+        o1 = ori.select(F.col("s"), F.col("t").alias("v"), F.col("kt").alias("kv"))
+        o2 = ori.select(F.col("s"), F.col("t").alias("w"), F.col("kt").alias("kw"))
+        wedges = (
+            o1.join(o2, "s")
+            .filter(F.col("kv") < F.col("kw"))
+            .select("s", "v", "w")
+        )
+        closing = ori.select(F.col("s").alias("v"), F.col("t").alias("w"))
+        tris = wedges.join(closing, ["v", "w"], "left_semi")
+        pair = (lambda x, y: F.struct(F.least(x, y).alias("a"),
+                                      F.greatest(x, y).alias("b")))
+        return (
+            tris.select(F.explode(F.array(
+                pair(F.col("s"), F.col("v")),
+                pair(F.col("s"), F.col("w")),
+                pair(F.col("v"), F.col("w")))).alias("e"))
+            .select("e.a", "e.b")
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("support"))
+        )
+
     for _ in range(rounds):
-        sup = _edge_support_und(e)
-        e = e.join(
+        sup = support_of(o)
+        o = o.join(
             sup.filter(F.col("support") >= k - 2).select("a", "b"),
             ["a", "b"], "left_semi",
         ).transform(cut_lineage)
-    final = _edge_support_und(e)
+    final = support_of(o)
     return (
-        e.join(final, ["a", "b"], "left")
+        o.select("a", "b").join(final, ["a", "b"], "left")
         .select("a", "b",
                 F.coalesce("support", F.lit(0)).cast("long").alias("support"))
     )

@@ -3262,9 +3262,10 @@ LEFT JOIN supf s ON s.a = u.a AND s.b = u.b""")
     return "".join(parts)
 
 
-@q("bel_ktruss", _ktruss_oracle_sql())
+@q("bel_ktruss", _ktruss_oracle_sql(rounds=2))
 def bel_ktruss(spark, sf_dir):
-    """3-truss extraction over the constructed KG (3 peel rounds): the
+    """3-truss extraction over the constructed KG (2 peel rounds —
+    the oracle corpus converges after round 1): the
     iterative edge-centric cohesion algorithm (graph.ktruss_peel) —
     support recomputed per round with the compact-forward triangle
     enumeration, edges below support k-2 dropped synchronously.  The
@@ -3279,7 +3280,7 @@ def bel_ktruss(spark, sf_dir):
                 F.col("object_bel").alias("v"))
         .distinct()
     )
-    return G.ktruss_peel(e, k=3, rounds=3)
+    return G.ktruss_peel(e, k=3, rounds=2)
 
 
 @q("bel_pair_pmi", f"""
