@@ -317,3 +317,65 @@ def gumbel_topk_sample(
         .orderBy(F.desc("gumbel_key"), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    n_target: int,
+    salt: str = "strat:",
+) -> DataFrame:
+    """Exact-size proportional stratified sample: select EXACTLY
+    ``n_target`` rows with per-stratum quotas computed by the
+    largest-remainder (Hamilton) method — base quota
+    ``n_target * n_s // N`` per stratum, the leftover seats going to the
+    strata with the largest integer remainders (ties to the smaller
+    stratum value).  Rows within a stratum are chosen by deterministic
+    md5 hash order, so the sample is a pure function of ids — stable
+    across clusters, partitionings and reruns.
+
+    Scale shape: quota arithmetic is ALL-INTEGER (no float rounding
+    drift between engines) on the strata table, which is
+    vocabulary-sized (languages/sources) — the unpartitioned
+    leftover-ranking window is over that tiny table, never over rows.
+    Row selection is one per-stratum row_number window (parallel per
+    stratum; a single giant stratum inherits the same per-key-sort
+    caveat as every windowed operator here).
+
+    Requires n_target <= count(df); quotas never exceed stratum sizes.
+    Returns (id_col, stratum_col) of the selected rows.
+    """
+    s = df.select(
+        F.col(id_col), F.col(stratum_col),
+        hash_order(F.col(id_col), salt=salt).alias("_h"),
+    )
+    counts = s.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(F.sum("n_s").alias("n_all"))
+    q0 = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            stratum_col,
+            F.expr(f"{n_target} * n_s div n_all").alias("base"),
+            F.expr(f"{n_target} * n_s % n_all").alias("rem"),
+        )
+    )
+    all_w = Window.partitionBy(F.lit(1))
+    rank_w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("rem"), F.asc(stratum_col))
+    quotas = q0.select(
+        stratum_col,
+        (F.col("base")
+         + F.when(
+             F.row_number().over(rank_w)
+             <= F.lit(n_target) - F.sum("base").over(all_w), 1)
+         .otherwise(0)).alias("quota"),
+    )
+    rn_w = Window.partitionBy(stratum_col).orderBy(F.asc("_h"),
+                                                   F.asc(id_col))
+    return (
+        s.join(F.broadcast(quotas), stratum_col)
+        .withColumn("_rn", F.row_number().over(rn_w))
+        .filter(F.col("_rn") <= F.col("quota"))
+        .select(id_col, stratum_col)
+    )

@@ -780,3 +780,53 @@ def ivf_dup_pairs(
         .filter(F.col("cos_raw") >= threshold)
         .select("a", "b", F.round("cos_raw", decimals).alias("cosine"))
     )
+
+
+def ivf_outliers(
+    corpus: DataFrame,
+    dim: int,
+    nlist: int = 8,
+    top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-cluster farthest-point outliers: assign every vector to its
+    nearest coarse-quantizer centroid (the SAME memoized deterministic
+    model the ANN queries train) and flag the `top` vectors farthest
+    from their centroid in each inverted list — the embedding-space
+    garbage/poison triage pass (mislabeled points, decode failures,
+    off-distribution spam sit far from every cluster center).
+
+    Scale shape: assignment + distance are one map-only pass against the
+    broadcast centroid matrix; the only shuffle is the per-list top-k
+    window, whose groups are inverted-list-sized by construction (nlist
+    grows with the corpus via auto_nlist).  Distances rank by their
+    ROUNDED value with an id tie-break, so the flag set is stable across
+    engines and partitionings.
+
+    Returns (id_col, list_id, dist, rank) for the flagged outliers.
+    """
+    cents = ivf_train_centroids(corpus, nlist=nlist, dim=dim,
+                                id_col=id_col, vec_col=vec_col)
+    df = attach_model(corpus.select(id_col, vec_col), cents, "_cmat")
+    li = nearest_lists_col(F.col(vec_col), F.col("_cmat"),
+                           nlist, dim, 1)[0]
+    df = df.withColumn("list_id", li.cast("long"))
+    # bind the selected centroid as a real column before the unrolled
+    # fold references it dim times (the HOF-rebinding lesson: a
+    # multi-referenced alias survives CollapseProject; an inline
+    # element_at subtree would be duplicated per element)
+    df = df.withColumn(
+        "_cvec",
+        F.element_at(F.col("_cmat"), F.col("list_id").cast("int") + 1))
+    df = df.withColumn(
+        "dist",
+        F.round(F.sqrt(_l2sq(F.col(vec_col), F.col("_cvec"), dim)),
+                decimals))
+    w = Window.partitionBy("list_id").orderBy(F.desc("dist"), F.asc(id_col))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(id_col, "list_id", "dist", "rank")
+    )

@@ -324,7 +324,8 @@ def ensure_vecs_oracle_tables(base: str = VECS_BASE,
     # those tables existed (the rebuild rewrites every table, idempotent)
     if (os.path.exists(os.path.join(base, _VMARKER))
             and os.path.isdir(os.path.join(base, "ivf_corpus_lists"))
-            and os.path.isdir(os.path.join(base, "pq_codes"))):
+            and os.path.isdir(os.path.join(base, "pq_codes"))
+            and os.path.isdir(os.path.join(base, "ivf_dists"))):
         return base
 
     from .ops.vectors import hyperplanes
@@ -343,12 +344,20 @@ def ensure_vecs_oracle_tables(base: str = VECS_BASE,
         tables[name] = pd.DataFrame(rows).astype(
             {"vec_id": "int64", "bucket": "int64"})
 
+    import math as _math
+
     cents = _ivf_centroids_py(vecs)
-    cl_rows, qp_rows = [], []
+    cl_rows, qp_rows, dist_rows = [], [], []
     for vec_id, emb in zip(vecs["vec_id"], vecs["embedding"]):
         vec_id = int(vec_id)
-        cl_rows.append({"vec_id": vec_id,
-                        "list_id": _nearest_lists_py(emb, cents, 1)[0]})
+        li = _nearest_lists_py(emb, cents, 1)[0]
+        cl_rows.append({"vec_id": vec_id, "list_id": li})
+        # centroid distance twin for the outlier query: same fold
+        # arithmetic as Spark's unrolled _l2sq (identical IEEE doubles),
+        # sqrt is correctly rounded on both engines; stored RAW, rounded
+        # in the SQL so the round() parity lives in one dialect pair
+        dist_rows.append({"vec_id": vec_id, "list_id": li,
+                          "dist": _math.sqrt(_l2sq_fold(emb, cents[li]))})
         if vec_id < 8:
             qp_rows.extend(
                 {"vec_id": vec_id, "list_id": li}
@@ -357,6 +366,8 @@ def ensure_vecs_oracle_tables(base: str = VECS_BASE,
         {"vec_id": "int64", "list_id": "int32"})
     tables["ivf_query_probes"] = pd.DataFrame(qp_rows).astype(
         {"vec_id": "int64", "list_id": "int32"})
+    tables["ivf_dists"] = pd.DataFrame(dist_rows).astype(
+        {"vec_id": "int64", "list_id": "int32", "dist": "float64"})
 
     from .ops.vectors import pq_luts_py
     pq_model = _pq_model_py(vecs)

@@ -1770,6 +1770,41 @@ def doc_line_dedup(spark, sf_dir):
     return D.line_dedup(d, "doc_id", "text", line_words=3, max_count=3)
 
 
+@q("doc_stratified_sample", """
+WITH s AS (
+  SELECT doc_id, source,
+         md5('strat:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT source, count(*) AS n_s FROM s GROUP BY source
+), t AS (
+  SELECT sum(n_s) AS n_all FROM c
+), q0 AS (
+  SELECT source, (100 * n_s) // n_all AS base, (100 * n_s) % n_all AS rem
+  FROM c CROSS JOIN t
+), q AS (
+  SELECT source,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                      <= 100 - (SELECT sum(base) FROM q0)
+                THEN 1 ELSE 0 END AS quota
+  FROM q0
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM s
+)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= quota
+""")
+def doc_stratified_sample(spark, sf_dir):
+    """Exact-100-row proportional stratified sample over sources via the
+    largest-remainder method (ops/sample.stratified_sample): all-integer
+    quota arithmetic on the vocabulary-sized strata table, per-stratum
+    deterministic hash-order selection — the reproducible 'small but
+    faithful' subcorpus primitive (eval slices, ablation sets)."""
+    d = _t(spark, sf_dir, "documents")
+    return S.stratified_sample(d, "source", "doc_id", n_target=100)
+
+
 @q("doc_boundary_overlap", r"""
 WITH w AS (
   SELECT doc_id,
@@ -2383,6 +2418,29 @@ def ann_ivf_topk(spark, sf_dir):
     e = _tw(spark, sf_dir, "embeddings")
     qdf = e.filter(F.col("vec_id") < 8)
     return X.ivf_topk(e, qdf, dim=64, k=3, nlist=8, nprobe=3, decimals=4)
+
+
+@q("embedding_outliers", """
+WITH d AS (
+  SELECT vec_id, list_id, round(dist, 4) AS dist FROM
+  read_parquet('/tmp/ebel_spark_oracle_vecs_v1/ivf_dists/*.parquet')
+)
+SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, dist, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY list_id
+            ORDER BY dist DESC, vec_id ASC) AS rank
+  FROM d
+) WHERE rank <= 5
+""")
+def embedding_outliers(spark, sf_dir):
+    """Embedding-space garbage triage: the 5 vectors farthest from their
+    assigned coarse-quantizer centroid in each inverted list
+    (ops/vectors.ivf_outliers) — mislabeled/decode-failure/off-
+    distribution points sit far from every center.  Full-value oracle:
+    the driver twin retrains the bit-identical quantizer, replays the
+    same fold arithmetic for the centroid distance (identical IEEE
+    doubles), and re-runs the per-list top-k rank in SQL."""
+    e = _tw(spark, sf_dir, "embeddings")
+    return X.ivf_outliers(e, dim=64, nlist=8, top=5)
 
 
 @q("ann_ivf_exact_topk", """

@@ -1259,3 +1259,56 @@ class TestBoundaryOverlap:
                for r in boundary_overlap_pairs(
                    df, "doc_id", "text", k=3).collect()}
         assert got == {(1, 2): "cc dd ee", (2, 4): "ee ff gg"}
+
+
+class TestStratifiedSample:
+    def test_exact_total_and_proportionality(self, spark):
+        from ebel_spark.ops.sample import stratified_sample
+        rows = ([(i, "big") for i in range(70)]
+                + [(100 + i, "mid") for i in range(25)]
+                + [(200 + i, "small") for i in range(5)])
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = stratified_sample(df, "source", "doc_id", n_target=20).collect()
+        assert len(out) == 20
+        by = {}
+        for r in out:
+            by[r["source"]] = by.get(r["source"], 0) + 1
+        # exact quotas: 70/100*20=14, 25/100*20=5, 5/100*20=1 (no remainder)
+        assert by == {"big": 14, "mid": 5, "small": 1}
+
+    def test_largest_remainder_allocation(self, spark):
+        from ebel_spark.ops.sample import stratified_sample
+        # 3 strata of 10 each, n_target=10 -> base 3/3/3, one leftover
+        # seat; remainders equal (10), tie -> smallest stratum value "a"
+        rows = [(s * 100 + i, c)
+                for s, c in enumerate("abc") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = stratified_sample(df, "source", "doc_id", n_target=10).collect()
+        by = {}
+        for r in out:
+            by[r["source"]] = by.get(r["source"], 0) + 1
+        assert by == {"a": 4, "b": 3, "c": 3}
+
+    def test_deterministic_across_partitionings(self, spark):
+        from ebel_spark.ops.sample import stratified_sample
+        rows = [(i, f"s{i % 3}") for i in range(60)]
+        a = spark.createDataFrame(rows, "doc_id long, source string")
+        b = a.repartition(7)
+        ga = sorted(r["doc_id"] for r in
+                    stratified_sample(a, "source", "doc_id", 15).collect())
+        gb = sorted(r["doc_id"] for r in
+                    stratified_sample(b, "source", "doc_id", 15).collect())
+        assert ga == gb and len(ga) == 15
+
+
+class TestIvfOutliers:
+    def test_planted_far_point_ranks_first(self, spark):
+        from ebel_spark.ops.vectors import ivf_outliers
+        rows = [(i, [float((i * 7 + j) % 5) / 10 for j in range(4)])
+                for i in range(50)]
+        rows.append((99, [25.0, 25.0, 25.0, 25.0]))  # planted outlier
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = ivf_outliers(df, dim=4, nlist=1, top=3).collect()
+        assert len(out) == 3
+        top1 = [r for r in out if r["rank"] == 1][0]
+        assert top1["vec_id"] == 99 and top1["dist"] > 10
