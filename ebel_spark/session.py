@@ -20,7 +20,14 @@ def get_spark(
     app_name: str = "ebel-spark",
     shuffle_partitions: int | None = None,
     extra: dict | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """`master` overrides the local[cores] default — e.g.
+    `local-cluster[4,2,4096]` to run 4 REAL executor JVMs with 2 cores /
+    4 GiB each (true serialization/broadcast/shuffle-fetch boundaries,
+    the faithful in-sandbox stand-in for a multi-executor cluster);
+    `cores` then means cores-per-executor x executors for sizing
+    shuffle partitions."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -40,7 +47,9 @@ def get_spark(
     # PythonRunner exports PYSPARK_GATEWAY_PORT when (and only when) the
     # script was launched by spark-submit, so that is the reliable signal.
     launched_by_spark_submit = "PYSPARK_GATEWAY_PORT" in os.environ
-    if not launched_by_spark_submit:
+    if master is not None:
+        b = b.master(master)
+    elif not launched_by_spark_submit:
         b = b.master(f"local[{cores}]")
     b = (
         b.appName(app_name)

@@ -30,12 +30,16 @@ import sys
 import os
 
 
-def run_one(cpus: int, files: int, stmts: int, warm: int, pin: bool) -> dict:
+def run_one(cpus: int, files: int, stmts: int, warm: int, pin: bool,
+            executors: int | None = None, exec_cores: int = 2) -> dict:
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "pipeline_scale_test.py")
     cmd = [sys.executable, script, "--cpus", str(cpus),
            "--files", str(files), "--stmts", str(stmts),
            "--warm-files", str(warm)]
+    if executors:
+        cmd += ["--executors", str(executors), "--exec-cores", str(exec_cores)]
+        cpus = executors * exec_cores
     if pin and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True)
@@ -52,24 +56,40 @@ def main(argv=None):
     ap.add_argument("--files", type=int, default=20000)
     ap.add_argument("--stmts", type=int, default=250)
     ap.add_argument("--warm-files", type=int, default=2000)
+    ap.add_argument("--executors", action="store_true",
+                    help="interpret --low/--high as EXECUTOR counts and run "
+                         "each level on local-cluster[N, exec-cores, mem] — "
+                         "N real executor JVMs (the literal N vs 4N "
+                         "executors protocol); CPU pinning covers "
+                         "N * exec-cores cores")
+    ap.add_argument("--exec-cores", type=int, default=2)
     ap.add_argument("--out", default=None)
     ap.add_argument("--no-pin", action="store_true")
     args = ap.parse_args(argv)
 
     pin = not args.no_pin
-    hi = run_one(args.high, args.files, args.stmts, args.warm_files, pin)
-    lo = run_one(args.low, args.files, args.stmts, args.warm_files, pin)
+    ex = args.executors
+    hi = run_one(args.high, args.files, args.stmts, args.warm_files, pin,
+                 executors=args.high if ex else None,
+                 exec_cores=args.exec_cores)
+    lo = run_one(args.low, args.files, args.stmts, args.warm_files, pin,
+                 executors=args.low if ex else None,
+                 exec_cores=args.exec_cores)
 
     tp_lo = lo["statements_per_sec"]
     tp_hi = hi["statements_per_sec"]
     ratio = args.high / args.low
     eff = (tp_hi / tp_lo) / ratio
+    tag = (lambda n: f"local-cluster[{n},{args.exec_cores}]" if ex
+           else f"local[{n}]")
     result = {
         "input": {"files": args.files, "statements": lo["statements"]},
         "cpu_pinned": pin,
+        "mode": ("N vs 4N real executor JVMs (local-cluster)" if ex
+                 else "local[N] threads"),
         "protocol": "warmup run + best of 2 timed full-pipeline runs",
-        f"local[{args.low}]": lo,
-        f"local[{args.high}]": hi,
+        tag(args.low): lo,
+        tag(args.high): hi,
         "throughput_ratio": round(tp_hi / tp_lo, 3),
         "parallelism_ratio": ratio,
         "scaling_efficiency": round(eff, 3),
