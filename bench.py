@@ -66,6 +66,12 @@ HEADLINE_QUERIES = [
     # support recomputation)
     "doc_line_dedup",
     "bel_ktruss",
+    # round-4 additions: the domain SNP->gene broadcast range join, the
+    # residual IVF-PQ path (offset join + residual ADC), and multi-probe
+    # LSH (query-side bit-flip fanout)
+    "bel_snp_genes",
+    "ann_ivfpq_residual_topk",
+    "ann_lsh_multiprobe_topk",
 ]
 
 
@@ -156,19 +162,23 @@ def main(argv=None):
     spark.range(1).count()
 
     per_query: dict[str, float] = {}
+    per_query_cold: dict[str, float] = {}
     for name in ([] if args.bel_only else HEADLINE_QUERIES):
         fn, _ = QUERIES[name]
-        best = None
-        # best of 2: the first execution of a plan pays 2-5x JIT on its
-        # generated code, and the shared-host VM adds ~2x run-to-run
-        # bandwidth noise (BENCH.md) — steady-state is what a long-lived
-        # cluster sees
+        # two in-session samples, BOTH recorded (r3 VERDICT #5): the first
+        # pays codegen/JIT + pin materialization ("cold"), the second is
+        # steady-state ("warm" — what a long-lived cluster sees).  The
+        # headline `queries` dict keeps the warm minimum for round-over-
+        # round comparability; `queries_cold` makes pin/JIT effects
+        # attributable from the artifact alone instead of masquerading as
+        # regressions (the r3 bm25 delta).
+        samples = []
         for _ in range(1 if args.cold else 2):
             t0 = time.time()
             force(fn(spark, args.sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        per_query[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        per_query_cold[name] = round(samples[0], 3)
+        per_query[name] = round(min(samples), 3)
         # release operator-pinned intermediates: ~20 queries of stale
         # persisted blocks measured 4-10x slowdowns on late heavy queries
         from ebel_spark.ops.dedup import release_pins
@@ -179,6 +189,7 @@ def main(argv=None):
         "value": round(sum(per_query.values()), 3),
         "unit": "sec",
         "queries": per_query,
+        "queries_cold": per_query_cold,
         "sf": sf,
         "cpus": args.cpus,
         "host_memcpy_gbps": host_memcpy_gbps(),

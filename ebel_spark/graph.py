@@ -829,30 +829,11 @@ def edge_support(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
     return _edge_support_und(und)
 
 
-def _edge_support_und(und: DataFrame) -> DataFrame:
-    """edge_support core over an already-canonical undirected (a, b) frame
-    (distinct, a < b, no self-loops) — shared by edge_support and the
-    ktruss_peel rounds."""
-    deg = (
-        und.select(F.col("a").alias("n"))
-        .unionAll(und.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    keyed = (
-        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
-        .select(
-            "a", "b",
-            F.struct(F.col("da").alias("d"), F.col("a").alias("n")).alias("ka"),
-            F.struct(F.col("db").alias("d"), F.col("b").alias("n")).alias("kb"),
-        )
-    )
-    oriented = keyed.select(
-        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("s"),
-        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("t"),
-        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kt"),
-    ).transform(cut_lineage)
+def _support_of_oriented(oriented: DataFrame) -> DataFrame:
+    """Per-undirected-edge triangle support from an already-ORIENTED frame
+    with columns (s, t, kt) — compact-forward wedge join + semi-join close,
+    each triangle crediting its three edges.  Shared by _edge_support_und
+    and every ktruss_peel round.  Returns (a, b, support), a < b."""
     o1 = oriented.select(F.col("s"), F.col("t").alias("v"), F.col("kt").alias("kv"))
     o2 = oriented.select(F.col("s"), F.col("t").alias("w"), F.col("kt").alias("kw"))
     wedges = (
@@ -873,6 +854,42 @@ def _edge_support_und(und: DataFrame) -> DataFrame:
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("support"))
     )
+
+
+def _orient_by_degree(und: DataFrame, keep_ab: bool = False) -> DataFrame:
+    """Orient a canonical undirected (a, b) frame by (degree, id): each edge
+    points from its lower- to its higher-(d, n) endpoint, giving (s, t, kt)
+    for compact-forward triangle enumeration.  With keep_ab the original
+    (a, b) columns ride along (ktruss_peel needs them for the semi-join)."""
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keyed = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            "a", "b",
+            F.struct(F.col("da").alias("d"), F.col("a").alias("n")).alias("ka"),
+            F.struct(F.col("db").alias("d"), F.col("b").alias("n")).alias("kb"),
+        )
+    )
+    head = ["a", "b"] if keep_ab else []
+    return keyed.select(
+        *head,
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("t"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kt"),
+    ).transform(cut_lineage)
+
+
+def _edge_support_und(und: DataFrame) -> DataFrame:
+    """edge_support core over an already-canonical undirected (a, b) frame
+    (distinct, a < b, no self-loops): orient by degree, then the shared
+    _support_of_oriented credit pass."""
+    return _support_of_oriented(_orient_by_degree(und))
 
 
 def ktruss_peel(
@@ -899,59 +916,23 @@ def ktruss_peel(
     is unaffected).  Returns surviving (a, b, support) where support is
     recomputed on the final subgraph (0 for edges whose last triangles
     dissolved in the final round).
+
+    For k <= 2 the threshold support >= k-2 is met by every edge (support
+    is always >= 0), so the k-truss is the whole graph — peeling is
+    skipped and support is reported over the full edge set (r3 ADVICE fix:
+    the old per-round semi-join silently dropped triangle-free edges).
     """
     und = undirected_edges(edges, src, dst).transform(cut_lineage)
-    deg = (
-        und.select(F.col("a").alias("n"))
-        .unionAll(und.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    keyed = (
-        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
-        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
-        .select(
-            "a", "b",
-            F.struct(F.col("da").alias("d"), F.col("a").alias("n")).alias("ka"),
-            F.struct(F.col("db").alias("d"), F.col("b").alias("n")).alias("kb"),
-        )
-    )
-    o = keyed.select(
-        "a", "b",
-        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("s"),
-        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("t"),
-        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kt"),
-    ).transform(cut_lineage)
+    o = _orient_by_degree(und, keep_ab=True)
 
-    def support_of(ori):
-        o1 = ori.select(F.col("s"), F.col("t").alias("v"), F.col("kt").alias("kv"))
-        o2 = ori.select(F.col("s"), F.col("t").alias("w"), F.col("kt").alias("kw"))
-        wedges = (
-            o1.join(o2, "s")
-            .filter(F.col("kv") < F.col("kw"))
-            .select("s", "v", "w")
-        )
-        closing = ori.select(F.col("s").alias("v"), F.col("t").alias("w"))
-        tris = wedges.join(closing, ["v", "w"], "left_semi")
-        pair = (lambda x, y: F.struct(F.least(x, y).alias("a"),
-                                      F.greatest(x, y).alias("b")))
-        return (
-            tris.select(F.explode(F.array(
-                pair(F.col("s"), F.col("v")),
-                pair(F.col("s"), F.col("w")),
-                pair(F.col("v"), F.col("w")))).alias("e"))
-            .select("e.a", "e.b")
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("support"))
-        )
-
-    for _ in range(rounds):
-        sup = support_of(o)
-        o = o.join(
-            sup.filter(F.col("support") >= k - 2).select("a", "b"),
-            ["a", "b"], "left_semi",
-        ).transform(cut_lineage)
-    final = support_of(o)
+    if k > 2:
+        for _ in range(rounds):
+            sup = _support_of_oriented(o)
+            o = o.join(
+                sup.filter(F.col("support") >= k - 2).select("a", "b"),
+                ["a", "b"], "left_semi",
+            ).transform(cut_lineage)
+    final = _support_of_oriented(o)
     return (
         o.select("a", "b").join(final, ["a", "b"], "left")
         .select("a", "b",

@@ -229,3 +229,73 @@ def link_all(nodes: DataFrame, hgnc: DataFrame, uniprot: DataFrame,
     out = link_uniprot(out, uniprot)
     out = link_chebi(out, chebi)
     return out
+
+
+def snp_gene_map(
+    snps: DataFrame,
+    ensembl: DataFrame,
+    gene_types: tuple = ("mapped", "downstream", "upstream"),
+) -> DataFrame:
+    """SNP -> gene mapping by chromosomal position — the Spark-first
+    re-expression of the reference's per-SNP OrientDB lookups
+    (get_set_gene_rids_by_position, odb_meta.py:1309-1363), which runs
+    three SQL queries PER SNP:
+
+    - mapped:     every distinct gene whose [start, stop] strictly
+                  contains the position (start < pos AND stop > pos)
+    - downstream: the single nearest gene starting after the position
+                  (ORDER BY start LIMIT 1)
+    - upstream:   the single nearest gene ending before the position
+                  (ORDER BY stop DESC LIMIT 1)
+
+    Here all SNPs map in ONE pass each: the gene dimension is
+    genome-sized (~60k rows for a real ensembl build) so it broadcasts,
+    and the nearest-neighbour picks are map-side-combinable
+    min(struct(...)) aggregations — no window sort, no per-row driver
+    loop.  Ties on start/stop break by symbol ascending (the reference's
+    LIMIT 1 is engine-order nondeterministic; we pin it).
+
+    Emits one row per (snp_id, gene_type, symbol) with the pure HGNC
+    gene node's bel string, mirroring the reference's
+    `g(HGNC:"<symbol>")` node creation.
+    """
+    s = snps.select("snp_id", "chromosome", "position")
+    g = F.broadcast(
+        ensembl.select("symbol", F.col("chromosome").alias("g_chrom"),
+                       "start", "stop"))
+    on_chrom = F.col("chromosome") == F.col("g_chrom")
+    parts = []
+    if "mapped" in gene_types:
+        parts.append(
+            s.join(g, on_chrom & (F.col("start") < F.col("position"))
+                   & (F.col("stop") > F.col("position")))
+            .select("snp_id", F.lit("mapped").alias("gene_type"), "symbol")
+            .distinct()
+        )
+    if "downstream" in gene_types:
+        parts.append(
+            s.join(g, on_chrom & (F.col("start") > F.col("position")))
+            .groupBy("snp_id")
+            .agg(F.min(F.struct("start", "symbol")).alias("m"))
+            .select("snp_id", F.lit("downstream").alias("gene_type"),
+                    F.col("m.symbol").alias("symbol"))
+        )
+    if "upstream" in gene_types:
+        # stop DESC with symbol ASC tie-break == min over (-stop, symbol)
+        parts.append(
+            s.join(g, on_chrom & (F.col("stop") < F.col("position")))
+            .groupBy("snp_id")
+            .agg(F.min(F.struct((-F.col("stop")).alias("negstop"),
+                                "symbol")).alias("m"))
+            .select("snp_id", F.lit("upstream").alias("gene_type"),
+                    F.col("m.symbol").alias("symbol"))
+        )
+    if not parts:
+        raise ValueError("gene_types must name at least one mapping")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "snp_id", "gene_type", "symbol",
+        F.concat(F.lit('g(HGNC:"'), F.col("symbol"), F.lit('")')).alias("bel"),
+    )

@@ -343,7 +343,11 @@ def stratified_sample(
     stratum; a single giant stratum inherits the same per-key-sort
     caveat as every windowed operator here).
 
-    Requires n_target <= count(df); quotas never exceed stratum sizes.
+    Requires n_target <= count(df) — enforced lazily: an assert_true on
+    the broadcast total fails the job loudly at execution time if the
+    precondition is violated (r3 ADVICE: callers rely on the exact-size
+    guarantee, so a silent short sample is worse than an error).  Given
+    the precondition, quotas never exceed stratum sizes.
     Returns (id_col, stratum_col) of the selected rows.
     """
     s = df.select(
@@ -352,11 +356,21 @@ def stratified_sample(
     )
     counts = s.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n_s"))
     tot = counts.agg(F.sum("n_s").alias("n_all"))
+    # assert_true returns NULL on success; folding it (coalesced to 0)
+    # into `base` keeps the check inside a live expression so column
+    # pruning cannot drop it, at zero cost on the vocabulary-sized table.
+    chk = F.coalesce(
+        F.assert_true(
+            F.lit(n_target) <= F.col("n_all"),
+            F.lit(f"stratified_sample: n_target={n_target} exceeds count(df)"),
+        ).cast("long"),
+        F.lit(0),
+    )
     q0 = (
         counts.crossJoin(F.broadcast(tot))
         .select(
             stratum_col,
-            F.expr(f"{n_target} * n_s div n_all").alias("base"),
+            (F.expr(f"{n_target} * n_s div n_all") + chk).alias("base"),
             F.expr(f"{n_target} * n_s % n_all").alias("rem"),
         )
     )

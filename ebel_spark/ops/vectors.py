@@ -233,6 +233,59 @@ def lsh_topk(
     )
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+    nbits: int = 12, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007, VLDB): each query probes
+    its own sign-bit bucket PLUS the nbits Hamming-1 neighbours (one
+    hyperplane sign flipped — the buckets a true neighbour most likely
+    fell into), recovering the recall that single-probe loses at high
+    nbits without shrinking the bucket key.
+
+    Scale shape: the corpus is bucketed ONCE (same map-only
+    lsh_bucket_col pass as lsh_topk); only the broadcast-sized QUERY
+    side fans out x(nbits+1) via one array+explode of pure bit-flips
+    (bucket XOR 2^i) — no extra corpus pass, no re-hash.  The probe
+    buckets of a query are pairwise distinct, so a corpus row can match
+    at most one probe and candidates need no dedup.  Exact cosine
+    re-rank inside the probed buckets, same rounding/tie rules as
+    lsh_topk — so at equal nbits the result dominates single-probe
+    recall by construction (superset of candidates)."""
+    planes = hyperplanes(dim, nbits, seed)
+    base = with_lsh_bucket(corpus, planes, dim, vec_col=vec_col)
+    c = base.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("c_vec"),
+        norm(vec_col, dim).alias("c_n"), "bucket")
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+          for i in range(nbits)])
+    q = (
+        with_lsh_bucket(queries, planes, dim, vec_col=vec_col)
+        .select(F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("q_vec"),
+                norm(vec_col, dim).alias("q_n"),
+                F.explode(probes).alias("bucket"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("corpus_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(
+            cosine("q_vec", "c_vec", dim,
+                   na=F.col("q_n"), nb=F.col("c_n")), decimals))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "cosine", "rank")
+    )
+
+
 def _l2sq(a, b, dim: int | None = None):
     """Squared L2 in the zip_with fold arithmetic: element difference at
     the promoted dtype (float vec - double centroid = double), squared,
@@ -542,6 +595,20 @@ def pq_luts_py(qvec, model, scale: float | None = None) -> list[list[int]]:
     return luts
 
 
+def ip_offset_py(qvec, cent, scale: float | None = None) -> int:
+    """floor(dot(q, centroid) * SCALE) — the per-(query, list) inner-
+    product offset of residual ADC scoring (dot(q, c + r~) =
+    dot(q, c) + dot(q, r~)).  Sequential Python float fold, shared
+    verbatim by the Spark path and the DuckDB oracle twin so both sides
+    hold byte-identical longs."""
+    import math
+    scale = IVF_SCALE if scale is None else scale
+    acc = 0.0
+    for x, c in zip(qvec, cent):
+        acc += float(x) * c
+    return math.floor(acc * scale)
+
+
 def pq_topk(
     corpus: DataFrame, queries: DataFrame, dim: int, k: int = 3,
     m: int = 8, ksub: int = 16, iters: int = 1,
@@ -601,6 +668,7 @@ def ivfpq_topk(
     nlist: int | None = 8, nprobe: int = 2,
     m: int = 8, ksub: int = 16, iters: int = 2, pq_iters: int = 1,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    by_residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ composed ANN — the standard large-scale recipe (Jégou et
     al. 2011; FAISS `IVFx,PQy` with by_residual=false): the IVF coarse
@@ -619,31 +687,63 @@ def ivfpq_topk(
     broadcast probe join, and the score is a map-side-combined exact
     LONG sum per (query, candidate).  Cost scales with
     nprobe/nlist × m/dim of the flat scan.  nprobe == nlist degrades to
-    the plain `pq_topk` ranking (pytest invariant)."""
+    the plain `pq_topk` ranking (pytest invariant).
+
+    With by_residual=True (the FAISS default) each corpus vector is
+    encoded against its PER-LIST RESIDUAL v - centroid[list]: the
+    codebook only has to cover the within-list spread, typically worth
+    several recall points at the same m.  For inner-product scoring the
+    decomposition dot(q, c + r~) = dot(q, c) + dot(q, r~) makes the
+    list term a per-(query, list) OFFSET long (driver-computed against
+    the broadcast-sized centroid matrix, ip_offset_py) added to the
+    same ADC lookup-table sum — so the residual path stays an exact
+    scaled-long pipeline with a full-value DuckDB twin, and costs ONE
+    extra broadcast join over the non-residual plan."""
     if nlist is None:
         nlist = auto_nlist(corpus.count())
     cents = ivf_train_centroids(corpus, nlist, dim, iters=iters,
                                 id_col=id_col, vec_col=vec_col)
-    model = pq_train(corpus, dim, m=m, ksub=ksub, iters=pq_iters,
-                     id_col=id_col, vec_col=vec_col)
     d = dim // m
+    assigned = with_nearest_lists(corpus.select(id_col, vec_col), cents,
+                                  dim, 1, vec_col=vec_col)
+    if by_residual:
+        # residual vectors: v - centroid[own list], bound as a real
+        # column before the encode fold references it (the HOF-rebinding
+        # lesson — see ivf_outliers)
+        res = (
+            attach_model(assigned, cents, "_rcmat")
+            .withColumn(
+                "_cvec",
+                F.element_at(F.col("_rcmat"),
+                             F.col("lists")[0].cast("int") + 1))
+            .withColumn("_res", F.zip_with(F.col(vec_col), F.col("_cvec"),
+                                           lambda x, y: x - y))
+            .select(id_col, F.col("lists")[0].alias("list_id"), "_res")
+        )
+        model = pq_train(res, dim, m=m, ksub=ksub, iters=pq_iters,
+                         id_col=id_col, vec_col="_res")
+        enc_src, enc_col = res, "_res"
+    else:
+        model = pq_train(corpus, dim, m=m, ksub=ksub, iters=pq_iters,
+                         id_col=id_col, vec_col=vec_col)
+        enc_src = assigned.select(
+            id_col, F.col("lists")[0].alias("list_id"), vec_col)
+        enc_col = vec_col
     flat = [c for sub in model for c in sub]
     codes = (
-        attach_model(
-            with_nearest_lists(corpus, cents, dim, 1, vec_col=vec_col),
-            flat, "_cmat")
-        .select(F.col(id_col).alias("corpus_id"),
-                F.col("lists")[0].alias("list_id"),
-                F.posexplode(pq_codes_col(F.col(vec_col), F.col("_cmat"),
+        attach_model(enc_src, flat, "_cmat")
+        .select(F.col(id_col).alias("corpus_id"), "list_id",
+                F.posexplode(pq_codes_col(F.col(enc_col), F.col("_cmat"),
                                           m, ksub, d)).alias("s", "code"))
     )
     probes = with_nearest_lists(queries, cents, dim, nprobe,
                                 vec_col=vec_col).select(
         F.col(id_col).alias("query_id"), F.explode("lists").alias("list_id"))
     spark = corpus.sparkSession
+    q_rows = queries.select(id_col, vec_col).collect()
     lut_rows = [
         (r[id_col], s, c, luts[s][c])
-        for r in queries.select(id_col, vec_col).collect()
+        for r in q_rows
         for luts in [pq_luts_py(r[vec_col], model)]
         for s in range(m) for c in range(ksub)
     ]
@@ -654,13 +754,33 @@ def ivfpq_topk(
         Ty.StructField("code", Ty.IntegerType()),
         Ty.StructField("slut", Ty.LongType()),
     ]))
-    scored = (
+    joined = (
         codes.join(F.broadcast(probes), "list_id")
         .filter(F.col("corpus_id") != F.col("query_id"))
         .join(F.broadcast(lut), ["query_id", "s", "code"])
-        .groupBy("query_id", "corpus_id")
-        .agg(F.sum("slut").alias("score"))
     )
+    if by_residual:
+        off_rows = [
+            (r[id_col], li, ip_offset_py(r[vec_col], cents[li]))
+            for r in q_rows for li in range(nlist)
+        ]
+        offs = spark.createDataFrame(off_rows, Ty.StructType([
+            Ty.StructField("query_id", queries.schema[id_col].dataType),
+            Ty.StructField("list_id", Ty.IntegerType()),
+            Ty.StructField("off", Ty.LongType()),
+        ]))
+        scored = (
+            joined.groupBy("query_id", "corpus_id", "list_id")
+            .agg(F.sum("slut").alias("adc"))
+            .join(F.broadcast(offs), ["query_id", "list_id"])
+            .select("query_id", "corpus_id",
+                    (F.col("adc") + F.col("off")).alias("score"))
+        )
+    else:
+        scored = (
+            joined.groupBy("query_id", "corpus_id")
+            .agg(F.sum("slut").alias("score"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("corpus_id"))
     return (
@@ -785,7 +905,7 @@ def ivf_dup_pairs(
 def ivf_outliers(
     corpus: DataFrame,
     dim: int,
-    nlist: int = 8,
+    nlist: int | None = 8,
     top: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -800,13 +920,16 @@ def ivf_outliers(
 
     Scale shape: assignment + distance are one map-only pass against the
     broadcast centroid matrix; the only shuffle is the per-list top-k
-    window, whose groups are inverted-list-sized by construction (nlist
-    grows with the corpus via auto_nlist).  Distances rank by their
-    ROUNDED value with an id tie-break, so the flag set is stable across
-    engines and partitionings.
+    window, whose groups are inverted-list-sized by construction —
+    pass nlist=None to size the list count from the corpus via
+    auto_nlist, same as ivf_topk / ivf_dup_pairs (r3 ADVICE parity fix).
+    Distances rank by their ROUNDED value with an id tie-break, so the
+    flag set is stable across engines and partitionings.
 
     Returns (id_col, list_id, dist, rank) for the flagged outliers.
     """
+    if nlist is None:
+        nlist = auto_nlist(corpus.count())
     cents = ivf_train_centroids(corpus, nlist=nlist, dim=dim,
                                 id_col=id_col, vec_col=vec_col)
     df = attach_model(corpus.select(id_col, vec_col), cents, "_cmat")

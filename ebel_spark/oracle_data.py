@@ -181,3 +181,69 @@ def ensure_walk_tables(base: str = ORACLE_BASE) -> str:
     with open(os.path.join(base, _WALKS_MARKER), "w") as fd:
         fd.write("ok")
     return base
+
+
+# ---------------------------------------------------------------------------
+# synthetic genomic dimension for the SNP -> gene range-join family
+# ---------------------------------------------------------------------------
+
+#: deterministic synthetic genome shape (seedless arithmetic, no RNG):
+#: 5 chromosomes x 200 genes, gene i on chromosome c spans
+#: [i*1000 + 500, start + 1500 + (i % 7) * 700] so neighbouring genes
+#: overlap (multiple "mapped" hits per position) and gaps exist
+#: (positions with zero mapped genes but well-defined nearest
+#: up/downstream neighbours).
+SNP_CHROMS = 5
+GENES_PER_CHROM = 200
+N_SNPS = 400
+_SNP_MARKER = "_SNP_READY"
+
+
+def ensure_snp_tables(base: str = ORACLE_BASE) -> str:
+    """Synthetic `ensembl` gene dimension + `snps` position table for the
+    domain SNP->gene mapping query (the reference's
+    get_set_gene_rids_by_position, odb_meta.py:1309-1363).  Written
+    driver-side with pandas so BOTH the Spark query and the DuckDB
+    oracle read identical parquet, like every other oracle table here.
+
+    Gene symbols reuse the namespaces.build_dimensions GENE%05d universe
+    so the created g(HGNC:"...") nodes intersect the HGNC dimension the
+    linking queries use."""
+    os.makedirs(base, exist_ok=True)
+    if os.path.exists(os.path.join(base, _SNP_MARKER)):
+        return base
+
+    gene_rows = []
+    for c in range(1, SNP_CHROMS + 1):
+        for i in range(GENES_PER_CHROM):
+            start = i * 1000 + 500
+            stop = start + 1500 + (i % 7) * 700
+            sym = f"GENE{(c - 1) * GENES_PER_CHROM + i:05d}"
+            gene_rows.append({
+                "symbol": sym, "chromosome": str(c),
+                "start": start, "stop": stop,
+            })
+
+    span = GENES_PER_CHROM * 1000 + 6000
+    snp_rows = []
+    for n in range(N_SNPS):
+        # multiplicative-hash position: deterministic, well spread, and
+        # lands both inside genes and in the inter-gene gaps
+        pos = (n * 99991 + 12345) % span
+        snp_rows.append({
+            "snp_id": f"rs{n:06d}",
+            "chromosome": str(1 + n % SNP_CHROMS),
+            "position": pos,
+        })
+
+    for name, pdf in (("ensembl", pd.DataFrame(gene_rows)),
+                      ("snps", pd.DataFrame(snp_rows))):
+        d = os.path.join(base, name)
+        os.makedirs(d, exist_ok=True)
+        for col in ("start", "stop", "position"):
+            if col in pdf.columns:
+                pdf[col] = pdf[col].astype("int64")
+        pdf.to_parquet(os.path.join(d, "part-0.parquet"), index=False)
+    with open(os.path.join(base, _SNP_MARKER), "w") as fd:
+        fd.write("ok")
+    return base

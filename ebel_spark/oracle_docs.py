@@ -325,7 +325,8 @@ def ensure_vecs_oracle_tables(base: str = VECS_BASE,
     if (os.path.exists(os.path.join(base, _VMARKER))
             and os.path.isdir(os.path.join(base, "ivf_corpus_lists"))
             and os.path.isdir(os.path.join(base, "pq_codes"))
-            and os.path.isdir(os.path.join(base, "ivf_dists"))):
+            and os.path.isdir(os.path.join(base, "ivf_dists"))
+            and os.path.isdir(os.path.join(base, "pqres_codes"))):
         return base
 
     from .ops.vectors import hyperplanes
@@ -387,6 +388,47 @@ def ensure_vecs_oracle_tables(base: str = VECS_BASE,
     tables["pq_lut"] = pd.DataFrame(lut_rows).astype(
         {"query_id": "int64", "s": "int32", "code": "int32",
          "slut": "int64"})
+
+    # residual-PQ twins (ann_ivfpq_residual_topk): each vector encodes
+    # against v - centroid[own list]; the query-side tables are the LUT
+    # of the RAW query vector against the residual codebook plus the
+    # per-(query, list) inner-product offset longs — the exact
+    # decomposition dot(q, c + r~) = dot(q, c) + dot(q, r~) the Spark
+    # path (ops/vectors.ivfpq_topk by_residual=True) scores with.
+    from .ops.vectors import ip_offset_py
+    own_list = {r["vec_id"]: r["list_id"] for r in cl_rows}
+    res_emb = {
+        int(vid): [float(x) - cents[own_list[int(vid)]][j]
+                   for j, x in enumerate(emb)]
+        for vid, emb in zip(vecs["vec_id"], vecs["embedding"])
+    }
+    res_vecs = pd.DataFrame({
+        "vec_id": list(res_emb.keys()),
+        "embedding": list(res_emb.values()),
+    })
+    res_model = _pq_model_py(res_vecs)
+    rcode_rows, rlut_rows, off_rows = [], [], []
+    for vec_id, emb in zip(vecs["vec_id"], vecs["embedding"]):
+        vec_id = int(vec_id)
+        rcode_rows.extend(
+            {"vec_id": vec_id, "s": s, "code": c}
+            for s, c in enumerate(_pq_codes_py(res_emb[vec_id], res_model)))
+        if vec_id < 8:
+            luts = pq_luts_py(emb, res_model)
+            rlut_rows.extend(
+                {"query_id": vec_id, "s": s, "code": c, "slut": luts[s][c]}
+                for s in range(PQ_M) for c in range(PQ_KSUB))
+            off_rows.extend(
+                {"query_id": vec_id, "list_id": li,
+                 "off": ip_offset_py(emb, cents[li])}
+                for li in range(IVF_NLIST))
+    tables["pqres_codes"] = pd.DataFrame(rcode_rows).astype(
+        {"vec_id": "int64", "s": "int32", "code": "int32"})
+    tables["pqres_lut"] = pd.DataFrame(rlut_rows).astype(
+        {"query_id": "int64", "s": "int32", "code": "int32",
+         "slut": "int64"})
+    tables["ivfpq_offsets"] = pd.DataFrame(off_rows).astype(
+        {"query_id": "int64", "list_id": "int32", "off": "int64"})
 
     os.makedirs(base, exist_ok=True)
     for name, pdf in tables.items():

@@ -121,7 +121,10 @@ def get_spark(
     # ad-hoc conf overrides for experiments without touching callers:
     # SPARK_GRAFT_CONF="k1=v1;k2=v2" (applied before `extra`, which wins)
     for kv in filter(None, os.environ.get("SPARK_GRAFT_CONF", "").split(";")):
-        k, _, v = kv.partition("=")
+        k, sep, v = kv.partition("=")
+        if not sep or not k.strip():
+            raise ValueError(
+                f"SPARK_GRAFT_CONF segment {kv!r} is not of the form key=value")
         b = b.config(k.strip(), v.strip())
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -1312,3 +1312,112 @@ class TestIvfOutliers:
         assert len(out) == 3
         top1 = [r for r in out if r["rank"] == 1][0]
         assert top1["vec_id"] == 99 and top1["dist"] > 10
+
+
+class TestRound4Ops:
+    """Round-4 additions: multi-probe LSH, residual IVF-PQ, ivf_outliers
+    auto-nlist parity, stratified_sample loud precondition, ktruss k=2
+    semantics, SNP->gene mapping."""
+
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        rng = np.random.RandomState(7)
+        base = rng.randn(10, 16).astype("float32")
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+        for i in range(5):
+            v = base[i] + rng.randn(16).astype("float32") * 0.01
+            rows.append((10 + i, [float(x) for x in v]))
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_multiprobe_recall_dominates_single_probe(self, vecs):
+        q = vecs.filter("vec_id < 5")
+        exact = X.brute_force_topk(vecs, q, k=2)
+        single = X.lsh_topk(vecs, q, dim=16, k=2, nbits=8)
+        multi = X.lsh_multiprobe_topk(vecs, q, dim=16, k=2, nbits=8)
+        r1 = {r.query_id: r.n_hit
+              for r in X.topk_recall(single, exact, k=2).collect()}
+        r2 = {r.query_id: r.n_hit
+              for r in X.topk_recall(multi, exact, k=2).collect()}
+        # candidate superset -> per-query recall can only improve
+        assert all(r2[qid] >= r1.get(qid, 0) for qid in r2)
+
+    def test_multiprobe_candidates_are_superset(self, vecs):
+        q = vecs.filter("vec_id < 5")
+        single = {(r.query_id, r.corpus_id) for r in X.lsh_topk(
+            vecs, q, dim=16, k=20, nbits=8).collect()}
+        multi = {(r.query_id, r.corpus_id) for r in X.lsh_multiprobe_topk(
+            vecs, q, dim=16, k=20, nbits=8).collect()}
+        assert single <= multi
+
+    def test_ivfpq_residual_full_probe_ranks_planted_first(self, vecs):
+        q = vecs.filter("vec_id < 5")
+        got = X.ivfpq_topk(vecs, q, dim=16, k=1, nlist=2, nprobe=2,
+                           m=4, ksub=4, iters=1, pq_iters=1,
+                           by_residual=True).collect()
+        hits = {r.query_id: r.corpus_id for r in got}
+        # residual coding must at least find the planted near-dups too
+        assert sum(1 for qid, cid in hits.items() if cid == qid + 10) >= 3
+        # deterministic across runs (exact scaled-long scores + offsets)
+        again = X.ivfpq_topk(vecs, q, dim=16, k=1, nlist=2, nprobe=2,
+                             m=4, ksub=4, iters=1, pq_iters=1,
+                             by_residual=True).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    def test_ivf_outliers_auto_nlist(self, vecs):
+        auto = X.ivf_outliers(vecs, dim=16, nlist=None, top=2)
+        n = vecs.count()
+        explicit = X.ivf_outliers(vecs, dim=16, nlist=X.auto_nlist(n),
+                                  top=2)
+        assert (sorted(map(tuple, auto.collect()))
+                == sorted(map(tuple, explicit.collect())))
+
+    def test_stratified_sample_overdraw_fails_loudly(self, spark):
+        import pyspark.errors
+        from ebel_spark.ops import sample as S
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b") for i in range(10)],
+            ["id", "stratum"])
+        ok = S.stratified_sample(df, "stratum", "id", n_target=6)
+        assert ok.count() == 6
+        with pytest.raises(Exception) as ei:
+            S.stratified_sample(df, "stratum", "id", n_target=11).count()
+        assert "n_target" in str(ei.value)
+
+    def test_ktruss_k2_is_whole_graph(self, spark):
+        from ebel_spark import graph as G
+        # a triangle plus a pendant edge: the 2-truss is the WHOLE graph
+        # (every edge has support >= 0); the pendant edge must survive
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["u", "v"])
+        got = {(r.a, r.b): r.support
+               for r in G.ktruss_peel(e, k=2, rounds=2).collect()}
+        assert len(got) == 4
+        assert got[("c", "d")] == 0
+        assert got[("a", "b")] == 1
+
+    def test_snp_gene_map_matches_bisect_oracle(self, spark):
+        from ebel_spark.link import snp_gene_map
+        genes = [("G1", "1", 100, 200), ("G2", "1", 150, 400),
+                 ("G3", "1", 500, 600), ("G4", "2", 100, 200)]
+        snps = [("rs1", "1", 170), ("rs2", "1", 450), ("rs3", "1", 50),
+                ("rs4", "2", 700)]
+        gdf = spark.createDataFrame(
+            genes, ["symbol", "chromosome", "start", "stop"])
+        sdf = spark.createDataFrame(
+            snps, ["snp_id", "chromosome", "position"])
+        got = {(r.snp_id, r.gene_type): r.symbol
+               for r in snp_gene_map(sdf, gdf).collect()
+               if r.gene_type != "mapped"}
+        mapped = {(r.snp_id, r.symbol)
+                  for r in snp_gene_map(sdf, gdf).collect()
+                  if r.gene_type == "mapped"}
+        # rs1 at 1:170 sits inside G1 and G2; rs4 at 2:700 is past G4 so
+        # it is NOT mapped (only nearest-upstream); no other SNP falls
+        # inside a gene span
+        assert mapped == {("rs1", "G1"), ("rs1", "G2")}
+        assert got[("rs1", "downstream")] == "G3"
+        assert got[("rs2", "downstream")] == "G3"
+        assert got[("rs2", "upstream")] == "G2"
+        assert got[("rs3", "downstream")] == "G1"
+        assert ("rs3", "upstream") not in got
+        assert got[("rs4", "upstream")] == "G4"

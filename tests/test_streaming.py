@@ -339,3 +339,56 @@ class TestStreaming:
         assert again.count() == ref_e.count()
         assert (again.selectExpr("sum(n_statements)").first()[0]
                 == ref_e.selectExpr("sum(n_statements)").first()[0])
+
+    def test_stream_upsert_same_sha_twice_in_batch1_once_in_batch3(
+            self, spark, tmp_path):
+        """Pin the full duplicate-content invariant (r3 VERDICT item 9):
+        the SAME file sha appears twice inside one micro-batch (in-batch
+        dropDuplicates) and again in a later micro-batch (lineage
+        anti-join), with maxFilesPerTrigger=1 so each appended parquet
+        file is its own batch.  The accumulated graph must still equal
+        the content-deduped one-shot batch materialize — counts must not
+        depend on micro-batch boundaries."""
+        from ebel_spark import graph as G
+        from ebel_spark import parse as P
+        from ebel_spark.streaming import stream_graph_upsert
+
+        src_dir = str(tmp_path / "dsrc")
+        out_dir = str(tmp_path / "dout")
+        ckpt = str(tmp_path / "dckpt")
+
+        import pandas as pd
+        pdf = corpus_pandas(CorpusProfile(n_files=6,
+                                          statements_per_file=20))
+        # batch 1: file 0 TWICE + files 1-2; batch 2: files 3-4;
+        # batch 3: file 0 AGAIN + file 5
+        batches = [
+            pd.concat([pdf.iloc[0:1], pdf.iloc[0:1], pdf.iloc[1:3]]),
+            pdf.iloc[3:5],
+            pd.concat([pdf.iloc[0:1], pdf.iloc[5:6]]),
+        ]
+        for b in batches:
+            spark.createDataFrame(b, SOURCE_SCHEMA).coalesce(1) \
+                .write.mode("append").parquet(src_dir)
+
+        q = stream_graph_upsert(spark, src_dir, out_dir, ckpt,
+                                max_files_per_trigger=1)
+        q.awaitTermination(300)
+
+        src = spark.createDataFrame(pdf, SOURCE_SCHEMA)
+        parsed = P.parse_sources(
+            src.withColumn("file_sha", F.sha2("content", 256))
+            .dropDuplicates(["file_sha"])).filter("ok")
+        ref_e = G.materialize_edges(P.statements_table(parsed))
+        ref_n = G.materialize_nodes(P.nodes_table(parsed))
+        got_e = spark.read.parquet(out_dir + "/edges")
+        got_n = spark.read.parquet(out_dir + "/nodes")
+
+        cols_e = ["edge_id", "document_ids", "n_statements"]
+        assert got_e.count() == ref_e.count()
+        assert (got_e.select(*cols_e).exceptAll(ref_e.select(*cols_e))
+                .count() == 0)
+        cols_n = ["node_id", "node_class", "bel", "pure", "n_occurrences"]
+        assert got_n.count() == ref_n.count()
+        assert (got_n.select(*cols_n).exceptAll(ref_n.select(*cols_n))
+                .count() == 0)
