@@ -1665,3 +1665,90 @@ def match_context(
     if node_where is not None:
         nf = nf.filter(node_where)
     return nf.join(touched, "bel", "left_semi")
+
+
+def mine_horn_rules(
+    statements: DataFrame,
+    subj: str = "u",
+    rel: str = "r",
+    obj: str = "v",
+    min_support: int = 2,
+    min_conf: float = 0.05,
+    max_mid_degree: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """AMIE-style closed Horn-rule mining over the KG, path rules of
+    length 2:  r1(x, y) ∧ r2(y, z)  ⇒  r3(x, z)   (Galárraga et al.,
+    WWW 2013 — support and standard CWA confidence; the PCA-confidence
+    variant is out of scope).  The relation-inference primitive of KG
+    completion: high-confidence rules propose missing edges and
+    calibrate extracted relations (e.g. increases∘increases ⇒ increases
+    chains in a BEL graph).
+
+      body(r1,r2)   = distinct (x, z) groundings of the 2-hop body
+                      (x != z; reflexive chains are noise, documented)
+      support       = |body ∧ r3(x, z)| — body groundings the head
+                      also covers
+      confidence    = support / |body|, rounded BEFORE the min_conf
+                      filter so both engines cut identically
+
+    Scale shape: facts are deduplicated once (set semantics); the body
+    is ONE self-equi-join on the join variable y and its grounding
+    dedup is a map-side-combinable distinct; support is one more
+    equi-join on (x, z) against the fact table; every aggregation is a
+    bounded (r1, r2[, r3]) rollup — relation-vocabulary sized, never
+    entity-sized.  The y-join inherits the hub-fanout caveat of every
+    wedge enumeration; `max_mid_degree` drops join variables whose
+    in*out fanout exceeds the cap (same discipline as adamic_adar's
+    max_hub), the standard practical guard at web scale.
+
+    Returns (r1, r2, r3, support, body_size, conf).
+    """
+    facts = (
+        statements.select(F.col(subj).alias("u"), F.col(rel).alias("r"),
+                          F.col(obj).alias("v"))
+        .distinct()
+        .transform(cut_lineage)
+    )
+    left = facts.select(F.col("r").alias("r1"), F.col("u").alias("x"),
+                        F.col("v").alias("y"))
+    right = facts.select(F.col("r").alias("r2"), F.col("u").alias("y"),
+                         F.col("v").alias("z"))
+    if max_mid_degree is not None:
+        n_in = left.groupBy("y").agg(F.count(F.lit(1)).alias("n_in"))
+        n_out = right.groupBy("y").agg(F.count(F.lit(1)).alias("n_out"))
+        ok = (
+            n_in.join(n_out, "y")
+            .filter(F.col("n_in") * F.col("n_out") <= max_mid_degree)
+            .select("y")
+        )
+        left = left.join(ok, "y", "left_semi")
+        right = right.join(ok, "y", "left_semi")
+    body = (
+        left.join(right, "y")
+        .filter(F.col("x") != F.col("z"))
+        .select("r1", "r2", "x", "z")
+        .distinct()
+    )
+    body_size = body.groupBy("r1", "r2").agg(
+        F.count(F.lit(1)).alias("body_size"))
+    heads = facts.select(F.col("r").alias("r3"), F.col("u").alias("x"),
+                         F.col("v").alias("z"))
+    support = (
+        body.join(heads, ["x", "z"])
+        .groupBy("r1", "r2", "r3")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return (
+        support.join(body_size, ["r1", "r2"])
+        .filter(F.col("support") >= min_support)
+        .withColumn(
+            "conf",
+            F.round(F.col("support").cast("double") / F.col("body_size"),
+                    decimals))
+        .filter(F.col("conf") >= min_conf)
+        .select("r1", "r2", "r3",
+                F.col("support").cast("long").alias("support"),
+                F.col("body_size").cast("long").alias("body_size"),
+                "conf")
+    )

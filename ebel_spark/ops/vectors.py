@@ -953,3 +953,50 @@ def ivf_outliers(
         .filter(F.col("rank") <= top)
         .select(id_col, "list_id", "dist", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    topk: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion of per-query top-k rankings (Cormack,
+    Clarke & Büttcher, SIGIR 2009): score(q, d) = sum_i 1/(k + rank_i),
+    the standard hybrid-retrieval combiner (e.g. sparse BM25 + dense ANN
+    lists into one ranking) — robust because it never compares raw
+    scores across heterogeneous scorers, only ranks.
+
+    Inputs are (query_id, corpus_id, ..., rank-like) frames; the rank is
+    taken from a column named `rank` or `rnk`.  Determinism: a groupBy
+    float sum over the union would add contributions in partition order,
+    so instead the frames are FULL-OUTER-JOINED in list order and the
+    score is one fixed-order column fold (coalesce(1/(k+r_i), 0) added
+    left to right) — the exact expression the DuckDB twin evaluates.
+    Ties break by corpus_id ascending after rounding.
+
+    Scale shape: each input is already k rows per query, so the joins
+    are tiny relative to producing any input ranking; the only shuffle
+    is on (query_id, corpus_id) — fused-list sized."""
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+
+    def _norm(df: DataFrame, i: int) -> DataFrame:
+        rank_col = "rank" if "rank" in df.columns else "rnk"
+        return df.select("query_id", "corpus_id",
+                         F.col(rank_col).cast("long").alias(f"_r{i}"))
+
+    out = _norm(rankings[0], 0)
+    for i, nxt in enumerate(rankings[1:], start=1):
+        out = out.join(_norm(nxt, i), ["query_id", "corpus_id"], "full")
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"_r{i}")), F.lit(0.0))
+    scored = out.withColumn("rrf", F.round(score, decimals))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf"), F.asc("corpus_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if topk is not None:
+        ranked = ranked.filter(F.col("rnk") <= topk)
+    return ranked.select("query_id", "corpus_id", "rrf", "rnk")

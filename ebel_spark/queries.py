@@ -4450,6 +4450,118 @@ def bel_snp_genes(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.9 AMIE-style Horn-rule mining (KG relation inference)
+# ---------------------------------------------------------------------------
+
+@q("bel_horn_rules", f"""
+WITH f AS MATERIALIZED (
+  SELECT DISTINCT subject_bel AS u, relation AS r, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), body AS MATERIALIZED (
+  SELECT DISTINCT l.r AS r1, rr.r AS r2, l.u AS x, rr.v AS z
+  FROM f l JOIN f rr ON l.v = rr.u
+  WHERE l.u <> rr.v
+), bs AS (
+  SELECT r1, r2, count(*) AS body_size FROM body GROUP BY r1, r2
+), sup AS (
+  SELECT b.r1, b.r2, f.r AS r3, count(*) AS support
+  FROM body b JOIN f ON f.u = b.x AND f.v = b.z
+  GROUP BY 1, 2, 3
+)
+SELECT r1, r2, r3, CAST(support AS BIGINT) AS support,
+       CAST(body_size AS BIGINT) AS body_size,
+       round(CAST(support AS DOUBLE) / body_size, 6) AS conf
+FROM sup JOIN bs USING (r1, r2)
+WHERE support >= 2
+  AND round(CAST(support AS DOUBLE) / body_size, 6) >= 0.05
+""")
+def bel_horn_rules(spark, sf_dir):
+    """AMIE-style 2-hop Horn rules r1(x,y) ∧ r2(y,z) ⇒ r3(x,z) with
+    support and CWA confidence (graph.mine_horn_rules; Galárraga 2013)
+    — the relation-inference pass of KG completion.  One fact dedup,
+    one self-join on the join variable, relation-vocabulary-sized
+    aggregations."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    s = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("relation").alias("r"),
+                F.col("object_bel").alias("v"))
+    )
+    return G.mine_horn_rules(s, min_support=2, min_conf=0.05)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal rank fusion of two ANN rankings
+# ---------------------------------------------------------------------------
+
+@q("ann_hybrid_rrf", """
+WITH b AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_vecs_v1/lsh8_buckets/*.parquet')
+), v AS (
+  SELECT e.vec_id, e.embedding, b.bucket
+  FROM embeddings e JOIN b USING (vec_id)
+), lsh_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_cosine_similarity(q.embedding, c.embedding), 4)
+           AS cosine
+  FROM v q JOIN v c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+), lshr AS (
+  SELECT query_id, corpus_id, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rnk
+    FROM lsh_scored) WHERE rnk <= 3
+), cl AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_vecs_v1/ivf_corpus_lists/*.parquet')
+), qp AS (
+  SELECT * FROM
+  read_parquet('/tmp/ebel_spark_oracle_vecs_v1/ivf_query_probes/*.parquet')
+), ivf_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         round(list_cosine_similarity(qe.embedding, ce.embedding), 4)
+           AS cosine
+  FROM qp q
+  JOIN cl c ON c.list_id = q.list_id AND c.vec_id <> q.vec_id
+  JOIN embeddings qe ON qe.vec_id = q.vec_id
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
+), ivfr AS (
+  SELECT query_id, corpus_id, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, corpus_id ASC) AS rnk
+    FROM ivf_scored) WHERE rnk <= 3
+), fused AS (
+  SELECT coalesce(l.query_id, i.query_id) AS query_id,
+         coalesce(l.corpus_id, i.corpus_id) AS corpus_id,
+         round(coalesce(1.0 / (60 + l.rnk), 0)
+               + coalesce(1.0 / (60 + i.rnk), 0), 6) AS rrf
+  FROM lshr l FULL JOIN ivfr i
+    ON i.query_id = l.query_id AND i.corpus_id = l.corpus_id
+)
+SELECT query_id, corpus_id, rrf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, corpus_id ASC) AS rnk
+  FROM fused
+) WHERE rnk <= 3
+""")
+def ann_hybrid_rrf(spark, sf_dir):
+    """Reciprocal Rank Fusion of the LSH and IVF approximate rankings
+    (ops/vectors.rrf_fuse; Cormack 2009) — the standard hybrid-retrieval
+    combiner.  Scores are a fixed-order column fold over the
+    full-outer-joined per-ranking rank columns (never a float groupBy
+    sum), so the fused ranking is deterministic and the oracle evaluates
+    the identical expression over the two already-oracled CTEs."""
+    lsh = ann_lsh_topk(spark, sf_dir)
+    ivf = ann_ivf_topk(spark, sf_dir)
+    return X.rrf_fuse([lsh, ivf], k=60, topk=3)
+
+
+# ---------------------------------------------------------------------------
 # Registry order.  The driver's correctness gate checks the FIRST 50 queries
 # in registration (dict-insertion) order.  Round 4 (VERDICT r3 item 1):
 # rotate the 18 round-3 late additions — which have only local-replica
@@ -4468,7 +4580,7 @@ _FRONT = [
     "embedding_outliers", "paths_upto_3",
     # round-4 new queries (registered below if present)
     "bel_snp_genes", "ann_ivfpq_residual_topk", "ann_lsh_multiprobe_topk",
-    "ann_recall_multiprobe",
+    "ann_recall_multiprobe", "bel_horn_rules", "ann_hybrid_rrf",
     # flagships re-checked every round — the queries the project exists for
     "bel_triples", "bel_nodes", "bel_validation_errors",
     "bel_relation_counts", "bel_edge_dedup_counts",
@@ -4483,7 +4595,6 @@ _FRONT = [
     "ann_ivf_topk", "ann_ivfpq_topk", "semantic_dup_pairs",
     "embedding_dup_pairs_lsh",
     "multimodal_features", "stream_minhash_hits",
-    "doc_seq_pack", "doc_hash_quality",
 ]
 
 

@@ -1421,3 +1421,54 @@ class TestRound4Ops:
         assert got[("rs3", "downstream")] == "G1"
         assert ("rs3", "upstream") not in got
         assert got[("rs4", "upstream")] == "G4"
+
+
+class TestHornRulesAndRrf:
+    def test_mine_horn_rules_hand_graph(self, spark):
+        from ebel_spark import graph as G
+        # increases(a,b), increases(b,c), increases(a,c)  -> perfect rule
+        # increases(d,e), increases(e,f)                  -> body w/o head
+        facts = [("a", "inc", "b"), ("b", "inc", "c"), ("a", "inc", "c"),
+                 ("d", "inc", "e"), ("e", "inc", "f")]
+        df = spark.createDataFrame(facts, ["u", "r", "v"])
+        got = {(r.r1, r.r2, r.r3): (r.support, r.body_size, r.conf)
+               for r in G.mine_horn_rules(df, min_support=1,
+                                          min_conf=0.0).collect()}
+        # bodies: (a,c) via b and (d,f) via e -> body_size 2; only (a,c)
+        # carries the inc head -> support 1, conf 0.5
+        assert got[("inc", "inc", "inc")] == (1, 2, 0.5)
+
+    def test_mine_horn_rules_mid_degree_cap(self, spark):
+        from ebel_spark import graph as G
+        # hub y with 3x3 fanout plus one closing head fact x0->z0; a cap
+        # below the 9 = in*out fanout kills every body through y (no
+        # rule), at the cap the r∘r ⇒ r rule survives with conf 1/9
+        facts = ([(f"x{i}", "r", "y") for i in range(3)]
+                 + [("y", "r", f"z{j}") for j in range(3)]
+                 + [("x0", "r", "z0")])
+        df = spark.createDataFrame(facts, ["u", "r", "v"])
+        assert G.mine_horn_rules(df, min_support=1, min_conf=0.0,
+                                 max_mid_degree=8).count() == 0
+        got = {(r.r1, r.r2, r.r3): (r.support, r.body_size, r.conf)
+               for r in G.mine_horn_rules(df, min_support=1, min_conf=0.0,
+                                          max_mid_degree=9).collect()}
+        # the x0->z0 fact adds bodies (x0,z0)∘? none via z0... only the
+        # y-hub bodies exist: 9 groundings, 1 covered by the head
+        assert got[("r", "r", "r")] == (1, 9, round(1 / 9, 6))
+
+    def test_rrf_fuse_hand_rankings(self, spark):
+        a = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
+            ["query_id", "corpus_id", "rank"])
+        b = spark.createDataFrame(
+            [(1, 11, 1), (1, 12, 2), (2, 20, 1)],
+            ["query_id", "corpus_id", "rnk"])
+        got = {(r.query_id, r.corpus_id): (r.rrf, r.rnk)
+               for r in X.rrf_fuse([a, b], k=60).collect()}
+        # doc 11: 1/62 + 1/61; doc 20 (both rank 1): 2/61 -> top
+        assert got[(1, 11)][0] == round(1 / 62 + 1 / 61, 6)
+        assert got[(1, 10)][0] == round(1 / 61, 6)
+        assert got[(2, 20)] == (round(2 / 61, 6), 1)
+        assert got[(1, 11)][1] == 1  # beats both single-list docs
+        # doc absent from one list still present with one term
+        assert got[(1, 12)][0] == round(1 / 62, 6)
