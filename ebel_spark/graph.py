@@ -1752,3 +1752,71 @@ def mine_horn_rules(
                 F.col("body_size").cast("long").alias("body_size"),
                 "conf")
     )
+
+
+def clustering_coefficient(edges: DataFrame, src: str = "u",
+                           dst: str = "v", decimals: int = 6) -> DataFrame:
+    """Local clustering coefficient per node: lcc(v) =
+    2*T(v) / (d(v) * (d(v)-1)) over the undirected simple graph — the
+    classic transitivity measure (Watts & Strogatz 1998) used to profile
+    KG neighbourhood cohesion.  Reuses the degree-ordered
+    compact-forward triangle enumeration (each triangle found once) and
+    the undirected degree aggregate; one left join keeps triangle-free
+    nodes at lcc 0.  Nodes of degree < 2 are excluded (the coefficient
+    is undefined there) — mirrored by the SQL twin.
+
+    Returns (bel, degree, n_triangles, lcc)."""
+    und = undirected_edges(edges, src, dst).transform(cut_lineage)
+    deg = (
+        und.select(F.col("a").alias("bel"))
+        .unionAll(und.select(F.col("b").alias("bel")))
+        .groupBy("bel")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges, src, dst)
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "bel", "left")
+        .select(
+            "bel",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("long")
+            .alias("n_triangles"),
+            F.round(F.lit(2.0) * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                    decimals).alias("lcc"),
+        )
+    )
+
+
+def schema_graph(
+    statements: DataFrame,
+    subj_class: str = "subject_class",
+    rel: str = "relation",
+    obj_class: str = "object_class",
+    subj: str = "subject_bel",
+    obj: str = "object_bel",
+) -> DataFrame:
+    """Schema-level KG summarization: roll the instance graph up to its
+    type graph (subject_class, relation, object_class) with statement
+    and distinct-entity counts — the ABSTAT-style profile (Spahiu et
+    al. 2016) that powers KG exploration, query planning and schema
+    drift detection without touching the instance level again.
+
+    One map-side-combinable aggregation whose output is
+    class-vocabulary² × relations sized — always tiny, no matter the
+    corpus.  The distinct-entity counts expand the aggregate internally
+    (Spark's count(DISTINCT) rewrite) but remain bounded by the same
+    key space.
+
+    Returns (subject_class, relation, object_class, n_statements,
+    n_subjects, n_objects)."""
+    return (
+        statements.groupBy(
+            F.col(subj_class).alias("subject_class"),
+            F.col(rel).alias("relation"),
+            F.col(obj_class).alias("object_class"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_statements"),
+             F.countDistinct(F.col(subj)).cast("long").alias("n_subjects"),
+             F.countDistinct(F.col(obj)).cast("long").alias("n_objects"))
+    )

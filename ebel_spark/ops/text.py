@@ -975,3 +975,53 @@ def ccnet_buckets(
     return j.select(
         F.col(id_col), F.col(lang_col), "n_tokens", "nll",
         b.cast("int").alias("bucket_idx"), expr.alias("bucket"))
+
+
+def c4_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_line_words: int = 3, min_kept_lines: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """The C4 line/document cleaning heuristics (Raffel et al. 2020,
+    §2.2 — the rules behind the C4 corpus, reused by Pile/RedPajama):
+    a line is KEPT only if it ends in terminal punctuation (. ! ? ")
+    and has >= `min_line_words` words and does not contain the word
+    "javascript" (cookie/JS boilerplate); a document is dropped
+    entirely if it contains "lorem ipsum" or a curly brace (code), or
+    keeps fewer than `min_kept_lines` lines.
+
+    Pure per-row column algebra like gopher_rules — a map-only stage
+    with no shuffle that fuses into the scan; the line split and
+    per-line predicates are array HOFs, never a Python UDF.  `keep` is
+    conjunctive over the document flags; kept_frac is rounded for
+    display only.
+
+    Returns (id_col, n_lines, kept_lines, kept_frac, has_lorem,
+    has_brace, keep)."""
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    kept = F.filter(
+        lines,
+        lambda l: (F.rtrim(l).rlike(r'[.!?"]$')
+                   & (F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                                      lambda w: w != ""))
+                      >= F.lit(min_line_words))
+                   & ~F.lower(l).contains("javascript")))
+    kept_lines = F.size(kept)
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    has_brace = c.contains("{") | c.contains("}")
+    out = df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        kept_lines.cast("long").alias("kept_lines"),
+        F.when(n_lines > 0,
+               F.round(kept_lines.cast("double") / n_lines, decimals))
+        .otherwise(F.lit(0.0)).alias("kept_frac"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("kept_lines") >= F.lit(min_kept_lines))
+        & ~F.col("has_lorem") & ~F.col("has_brace"))

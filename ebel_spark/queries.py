@@ -4450,6 +4450,124 @@ def bel_snp_genes(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.9 KG profiling: local clustering coefficient + schema graph
+# ---------------------------------------------------------------------------
+
+@q("bel_clustering_coefficient", f"""
+WITH e0 AS (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM e0 WHERE u <> v
+), tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), deg AS (
+  SELECT bel, count(*) AS degree FROM (
+    SELECT a AS bel FROM und UNION ALL SELECT b FROM und) GROUP BY bel
+), tc AS (
+  SELECT bel, count(*) AS t FROM (
+    SELECT x AS bel FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY bel
+)
+SELECT d.bel, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+       round(2.0 * coalesce(tc.t, 0)
+             / (d.degree * (d.degree - 1)), 6) AS lcc
+FROM deg d LEFT JOIN tc USING (bel)
+WHERE d.degree >= 2
+""")
+def bel_clustering_coefficient(spark, sf_dir):
+    """Local clustering coefficient per KG node (Watts-Strogatz
+    transitivity; graph.clustering_coefficient) — degree-ordered
+    compact-forward triangle counts joined against the undirected
+    degree, nodes of degree < 2 excluded on both engines."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    return G.clustering_coefficient(e)
+
+
+@q("bel_schema_graph", f"""
+SELECT subject_class, relation, object_class,
+       CAST(count(*) AS BIGINT) AS n_statements,
+       CAST(count(DISTINCT subject_bel) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT object_bel) AS BIGINT) AS n_objects
+FROM read_parquet('{_OB}/statements/*.parquet')
+WHERE edge_key IS NOT NULL AND NOT nested
+GROUP BY 1, 2, 3
+""")
+def bel_schema_graph(spark, sf_dir):
+    """Type-graph rollup of the instance KG (ABSTAT-style profile;
+    graph.schema_graph): (subject_class, relation, object_class) with
+    statement and distinct-entity counts — one map-side-combinable
+    aggregation whose output is class-vocab² x relations sized."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    return G.schema_graph(
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested")))
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning-rule bundle (Raffel et al. 2020)
+# ---------------------------------------------------------------------------
+
+@q("doc_c4_rules", """
+WITH l AS (
+  SELECT doc_id, line FROM (
+    SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+    FROM documents)
+  WHERE trim(line) <> ''
+), n AS (
+  SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id
+), k AS (
+  SELECT doc_id, count(*) AS kept_lines FROM l
+  WHERE regexp_matches(rtrim(line), '[.!?\"]$')
+    AND length(list_filter(string_split_regex(trim(line), '\\s+'),
+                           x -> x <> '')) >= 3
+    AND NOT contains(lower(line), 'javascript')
+  GROUP BY doc_id
+), d AS (
+  SELECT doc_id,
+         contains(lower(text), 'lorem ipsum') AS has_lorem,
+         (contains(text, '{') OR contains(text, '}')) AS has_brace
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(coalesce(n.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(coalesce(k.kept_lines, 0) AS BIGINT) AS kept_lines,
+       CASE WHEN coalesce(n.n_lines, 0) > 0
+            THEN round(CAST(coalesce(k.kept_lines, 0) AS DOUBLE)
+                       / n.n_lines, 6)
+            ELSE 0.0 END AS kept_frac,
+       d.has_lorem, d.has_brace,
+       (coalesce(k.kept_lines, 0) >= 1
+        AND NOT d.has_lorem AND NOT d.has_brace) AS keep
+FROM d LEFT JOIN n USING (doc_id) LEFT JOIN k USING (doc_id)
+""")
+def doc_c4_rules(spark, sf_dir):
+    """C4 line/document cleaning heuristics (ops/text.c4_rules, Raffel
+    2020 §2.2): terminal-punctuation + min-words + no-javascript line
+    keeps; lorem-ipsum / curly-brace document drops — one map-only
+    column-algebra pass, every rule recomputed in SQL from the raw
+    text."""
+    d = _tw(spark, sf_dir, "documents")
+    return T.c4_rules(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
 # §2.9 AMIE-style Horn-rule mining (KG relation inference)
 # ---------------------------------------------------------------------------
 
@@ -4581,6 +4699,7 @@ _FRONT = [
     # round-4 new queries (registered below if present)
     "bel_snp_genes", "ann_ivfpq_residual_topk", "ann_lsh_multiprobe_topk",
     "ann_recall_multiprobe", "bel_horn_rules", "ann_hybrid_rrf",
+    "bel_clustering_coefficient", "bel_schema_graph", "doc_c4_rules",
     # flagships re-checked every round — the queries the project exists for
     "bel_triples", "bel_nodes", "bel_validation_errors",
     "bel_relation_counts", "bel_edge_dedup_counts",
@@ -4590,10 +4709,8 @@ _FRONT = [
     "bel_pagerank", "bel_personalized_pagerank", "bel_triangle_counts",
     "bel_kcore", "bel_components", "bel_paths", "bel_match",
     # dedup / ANN / multimodal representatives
-    "doc_minhash_pairs", "doc_simhash_pairs", "doc_dup_spans",
-    "doc_budget_slice",
+    "doc_minhash_pairs", "doc_simhash_pairs",
     "ann_ivf_topk", "ann_ivfpq_topk", "semantic_dup_pairs",
-    "embedding_dup_pairs_lsh",
     "multimodal_features", "stream_minhash_hits",
 ]
 

@@ -1472,3 +1472,52 @@ class TestHornRulesAndRrf:
         assert got[(1, 11)][1] == 1  # beats both single-list docs
         # doc absent from one list still present with one term
         assert got[(1, 12)][0] == round(1 / 62, 6)
+
+
+class TestProfilingOps:
+    def test_clustering_coefficient_hand_graph(self, spark):
+        from ebel_spark import graph as G
+        # triangle a-b-c plus pendant c-d: lcc(a)=lcc(b)=1 (deg 2, 1 tri),
+        # lcc(c)=2*1/(3*2)=1/3, d has degree 1 -> excluded
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")], ["u", "v"])
+        got = {r.bel: (r.degree, r.n_triangles, r.lcc)
+               for r in G.clustering_coefficient(e).collect()}
+        assert got["a"] == (2, 1, 1.0)
+        assert got["b"] == (2, 1, 1.0)
+        assert got["c"] == (3, 1, round(1 / 3, 6))
+        assert "d" not in got
+
+    def test_schema_graph_rollup(self, spark):
+        from ebel_spark import graph as G
+        st = spark.createDataFrame(
+            [("protein", "increases", "rna", "p1", "r1"),
+             ("protein", "increases", "rna", "p1", "r2"),
+             ("protein", "increases", "rna", "p2", "r1"),
+             ("gene", "association", "protein", "g1", "p1")],
+            ["subject_class", "relation", "object_class",
+             "subject_bel", "object_bel"])
+        got = {(r.subject_class, r.relation, r.object_class):
+               (r.n_statements, r.n_subjects, r.n_objects)
+               for r in G.schema_graph(st).collect()}
+        assert got[("protein", "increases", "rna")] == (3, 2, 2)
+        assert got[("gene", "association", "protein")] == (1, 1, 1)
+
+    def test_c4_rules_line_and_doc_filters(self, spark):
+        from ebel_spark.ops import text as T
+        docs = [
+            (0, "A good sentence here.\nshort.\nno punct line\n"
+                "enable javascript to continue.\nAnother fine line!"),
+            (1, "Lorem Ipsum dolor sit amet.\nA good sentence here."),
+            (2, "if (x) { return; }\nA good sentence here."),
+            (3, "only fragments\nno endings"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r.doc_id: r for r in T.c4_rules(df).collect()}
+        # doc 0: kept = the 2 proper sentences ("short." has < 3 words;
+        # the javascript line is dropped despite punctuation)
+        assert (got[0].n_lines, got[0].kept_lines) == (5, 2)
+        assert got[0].keep
+        assert got[1].has_lorem and not got[1].keep
+        assert got[2].has_brace and not got[2].keep
+        assert got[3].kept_lines == 0 and not got[3].keep
