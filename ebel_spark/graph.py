@@ -1820,3 +1820,139 @@ def schema_graph(
              F.countDistinct(F.col(subj)).cast("long").alias("n_subjects"),
              F.countDistinct(F.col(obj)).cast("long").alias("n_objects"))
     )
+
+
+#: node2vec bias quantization: p/q multipliers are scaled to integers so
+#: the selection key stays an exact long on both engines
+N2V_SCALE = 1000
+#: hash folded into [0, 2^40) before the multiplier so key = h * mult
+#: never overflows a long (2^40 * 2^23 headroom)
+N2V_HMOD = 1 << 40
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walks_per_node: int = 2,
+    walk_len: int = 3,
+    p: float = 2.0,
+    q: float = 0.5,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Deterministic node2vec-biased walk corpus (Grover & Leskovec,
+    KDD 2016): like random_walks, but from step 1 on the hop out of `u`
+    is biased by the PREVIOUS node `prev` — return candidates
+    (v == prev) are weighted 1/p, candidates adjacent to prev
+    (edge (prev, v) exists) weight 1, everything else 1/q.  p > 1
+    discourages backtracking, q < 1 encourages outward exploration
+    (BFS/DFS interpolation).
+
+    The draw is derandomized with the same hash-argmin device as
+    random_walks, extended to weights: candidate v minimizes
+    pmod(xxhash64("prev|u|w|t|v"), 2^40) * mult(v), where mult is the
+    INVERSE weight scaled to an integer (p*1000 / 1000 / q*1000) —
+    smaller multiplier = more likely to win the min, a deterministic
+    integer-exact analog of weighted sampling (p/q quantized to 1/1000;
+    the bias ORDER matches node2vec exactly, the proportions
+    approximately).  Step 0 has no prev and uses the identical rule as
+    random_walks ("u|w|0|v" hash-argmin), so the twin reuses the same
+    driver-side hash table.
+
+    Shape at scale: the biased transition depends on (prev, u, w, t),
+    so the precomputed transition table lives on the DIRECTED 2-PATH
+    domain — sum_u d_in(u)*d_out(u) rows, exactly the per-edge alias
+    tables the reference node2vec implementation precomputes.  That is
+    the op's documented memory cost (hub-quadratic; cap hubs upstream
+    if needed).  The adjacency flag is one equi-join of the candidate
+    table against the edge list on (prev, v); per-step state advance
+    stays a 1:1 join, states never fan out.
+
+    Returns (start, walk, step, node); step 0 = the start node.
+    """
+    mult_ret = int(round(p * N2V_SCALE))
+    mult_mid = N2V_SCALE
+    mult_far = int(round(q * N2V_SCALE))
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    nodes = (e.select(F.col("u").alias("bel"))
+             .union(e.select("v")).distinct())
+    walk_ids = F.array(*[F.lit(w) for w in range(walks_per_node)])
+    from .ops.dedup import _pin
+
+    # step-0 transition: DeepWalk rule, hash string identical to
+    # random_walks at t=0 (twin table reuse)
+    h0 = F.xxhash64(F.concat_ws(
+        "|", F.col("u"), F.col("walk").cast("string"), F.lit("0"),
+        F.col("v")))
+    trans0 = (
+        e.select("u", "v", F.explode(walk_ids).alias("walk"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("u", "walk").orderBy(h0.asc(),
+                                                    F.col("v").asc())))
+        .filter(F.col("rn") == 1)
+        .select(F.col("u").alias("node"), "walk", F.col("v").alias("nxt"))
+    )
+
+    # biased transitions for t = 1..walk_len-1 over the 2-path domain
+    two = (
+        e.select(F.col("u").alias("prev"), F.col("v").alias("u"))
+        .join(e, "u")
+        .select("prev", "u", "v")
+    )
+    mid = e.select(F.col("u").alias("prev"), F.col("v").alias("v"),
+                   F.lit(1).alias("_mid"))
+    steps = F.array(*[F.lit(t) for t in range(1, walk_len)])
+    cand = (
+        two.join(mid, ["prev", "v"], "left")
+        .select("prev", "u", "v",
+                F.when(F.col("v") == F.col("prev"),
+                       F.lit(mult_ret))
+                .when(F.col("_mid").isNotNull(), F.lit(mult_mid))
+                .otherwise(F.lit(mult_far)).cast("long").alias("mult"))
+        .select("prev", "u", "v", "mult",
+                F.explode(walk_ids).alias("walk"))
+        .select("prev", "u", "v", "mult", "walk",
+                F.explode(steps).alias("t"))
+    )
+    key = (
+        F.pmod(
+            F.xxhash64(F.concat_ws(
+                "|", F.col("prev"), F.col("u"),
+                F.col("walk").cast("string"), F.col("t").cast("string"),
+                F.col("v"))),
+            F.lit(N2V_HMOD).cast("long"))
+        * F.col("mult")
+    )
+    trans2 = _pin(
+        cand
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("prev", "u", "walk", "t")
+            .orderBy(key.asc(), F.col("v").asc())))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("u").alias("node"), "walk", "t",
+                F.col("v").alias("nxt"))
+    )
+
+    cur = nodes.select(
+        F.col("bel").alias("start"),
+        F.explode(walk_ids).alias("walk"),
+        F.col("bel").alias("node"),
+    )
+    out = cur.withColumn("step", F.lit(0))
+    cur = (
+        cur.join(trans0, ["node", "walk"])
+        .select("start", "walk", F.col("node").alias("prev"),
+                F.col("nxt").alias("node"))
+    )
+    out = out.unionByName(
+        cur.select("start", "walk", "node").withColumn("step", F.lit(1)))
+    for t in range(1, walk_len):
+        cur = (
+            cur.join(trans2.filter(F.col("t") == t),
+                     ["prev", "node", "walk"])
+            .select("start", "walk", F.col("node").alias("prev"),
+                    F.col("nxt").alias("node"))
+        )
+        out = out.unionByName(
+            cur.select("start", "walk", "node")
+            .withColumn("step", F.lit(t + 1)))
+    return out

@@ -247,3 +247,70 @@ def ensure_snp_tables(base: str = ORACLE_BASE) -> str:
     with open(os.path.join(base, _SNP_MARKER), "w") as fd:
         fd.write("ok")
     return base
+
+
+# ---------------------------------------------------------------------------
+# node2vec biased-walk oracle helper
+# ---------------------------------------------------------------------------
+
+#: node2vec parameters shared by graph.node2vec_walks's contract query and
+#: its DuckDB oracle (bel_node2vec_walks); walks/len reuse WALKS_PER_NODE /
+#: WALK_LEN so step 0 reuses the walk_hashes table verbatim
+N2V_P = 2.0
+N2V_Q = 0.5
+_N2V_MARKER = "_N2V_READY"
+
+
+def ensure_node2vec_tables(base: str = ORACLE_BASE) -> str:
+    """Twin of the biased transition keys of graph.node2vec_walks: for
+    every DIRECTED 2-PATH (prev -> u -> v), walk w and step t >= 1, the
+    Spark-identical selection key
+    pmod(xxhash64("prev|u|w|t|v"), 2^40) * mult(v), with mult the
+    scaled inverse node2vec weight (p*1000 for the return candidate,
+    1000 for prev-adjacent, q*1000 otherwise).  The SQL oracle then
+    unrolls the walk as min-selection joins over this table plus the
+    t=0 rows of walk_hashes (step 0 is the unbiased DeepWalk rule)."""
+    ensure_walk_tables(base)
+    if os.path.exists(os.path.join(base, _N2V_MARKER)):
+        return base
+
+    from .graph import N2V_HMOD, N2V_SCALE
+    from .oracle_xxh import spark_xxhash64_str
+
+    mult_ret = int(round(N2V_P * N2V_SCALE))
+    mult_mid = N2V_SCALE
+    mult_far = int(round(N2V_Q * N2V_SCALE))
+
+    st = pd.read_parquet(
+        os.path.join(base, "statements"),
+        columns=["subject_bel", "object_bel", "edge_key", "nested"])
+    st = st[st["edge_key"].notna() & ~st["nested"]]
+    edges = sorted(set(zip(st["subject_bel"], st["object_bel"])))
+    out_adj: dict = {}
+    eset = set(edges)
+    for u, v in edges:
+        out_adj.setdefault(u, []).append(v)
+    rows = []
+    for p0, u in edges:
+        for v in out_adj.get(u, ()):
+            if v == p0:
+                mult = mult_ret
+            elif (p0, v) in eset:
+                mult = mult_mid
+            else:
+                mult = mult_far
+            for w in range(WALKS_PER_NODE):
+                for t in range(1, WALK_LEN):
+                    h = spark_xxhash64_str(f"{p0}|{u}|{w}|{t}|{v}")
+                    rows.append({
+                        "prev": p0, "u": u, "w": w, "t": t, "v": v,
+                        "key": (h % N2V_HMOD) * mult,
+                    })
+    d = os.path.join(base, "n2v_hashes")
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame(rows, columns=["prev", "u", "w", "t", "v", "key"]).astype(
+        {"w": "int32", "t": "int32", "key": "int64"}).to_parquet(
+        os.path.join(d, "part-0.parquet"), index=False)
+    with open(os.path.join(base, _N2V_MARKER), "w") as fd:
+        fd.write("ok")
+    return base

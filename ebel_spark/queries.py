@@ -4449,6 +4449,81 @@ def bel_snp_genes(spark, sf_dir):
     return snp_gene_map(snps, ens)
 
 
+def _node2vec_oracle_sql() -> str:
+    """Chained-CTE DuckDB twin of graph.node2vec_walks: step 0 is the
+    DeepWalk min-selection over walk_hashes (t=0); steps >= 1 are
+    min-selections over the driver-computed biased keys (n2v_hashes),
+    keyed by (prev, u, w) so the walk state advances with its previous
+    node."""
+    from .oracle_data import WALK_LEN, WALKS_PER_NODE
+    walk_vals = ", ".join(f"({w})" for w in range(WALKS_PER_NODE))
+    parts = [f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), n AS MATERIALIZED (SELECT u AS bel FROM e UNION SELECT v FROM e),
+wh AS MATERIALIZED (
+  SELECT * FROM read_parquet('{_OB}/walk_hashes/*.parquet') WHERE t = 0
+), nh AS MATERIALIZED (
+  SELECT * FROM read_parquet('{_OB}/n2v_hashes/*.parquet')
+), s0 AS MATERIALIZED (
+  SELECT bel AS start, CAST(ws.walk AS INTEGER) AS walk, bel AS node
+  FROM n CROSS JOIN (VALUES {walk_vals}) AS ws(walk)
+), tr0 AS MATERIALIZED (
+  SELECT u, w, v FROM (
+    SELECT u, w, v,
+           row_number() OVER (PARTITION BY u, w ORDER BY h, v) AS rn
+    FROM wh) WHERE rn = 1
+), s1 AS MATERIALIZED (
+  SELECT s.start, s.walk, tr.v AS node, s.node AS prev
+  FROM s0 s JOIN tr0 tr ON tr.u = s.node AND tr.w = s.walk)"""]
+    for t in range(1, WALK_LEN):
+        parts.append(f""",
+tr{t} AS MATERIALIZED (
+  SELECT prev, u, w, v FROM (
+    SELECT prev, u, w, v,
+           row_number() OVER (PARTITION BY prev, u, w
+                              ORDER BY key, v) AS rn
+    FROM nh WHERE t = {t}) WHERE rn = 1
+), s{t + 1} AS MATERIALIZED (
+  SELECT s.start, s.walk, tr.v AS node, s.node AS prev
+  FROM s{t} s JOIN tr{t} tr
+    ON tr.prev = s.prev AND tr.u = s.node AND tr.w = s.walk)""")
+    selects = ["SELECT start, walk, CAST(0 AS INTEGER) AS step, node "
+               "FROM s0"]
+    selects += [
+        f"SELECT start, walk, CAST({t} AS INTEGER) AS step, node FROM s{t}"
+        for t in range(1, WALK_LEN + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@q("bel_node2vec_walks", _node2vec_oracle_sql())
+def bel_node2vec_walks(spark, sf_dir):
+    """node2vec-biased walk corpus over the constructed KG (Grover &
+    Leskovec 2016; graph.node2vec_walks): hash-argmin derandomized
+    p/q-biased hops with the biased transition table on the directed
+    2-path domain — the BFS/DFS-interpolating upgrade of
+    bel_random_walks.  The oracle unrolls the same min-selection joins
+    over the driver-computed biased keys."""
+    from . import graph as G
+    from . import parse as P
+    from .oracle_data import (N2V_P, N2V_Q, WALK_LEN, WALKS_PER_NODE,
+                              ensure_node2vec_tables)
+    ensure_node2vec_tables()
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    return G.node2vec_walks(e, walks_per_node=WALKS_PER_NODE,
+                            walk_len=WALK_LEN, p=N2V_P, q=N2V_Q)
+
+
 # ---------------------------------------------------------------------------
 # §2.9 KG profiling: local clustering coefficient + schema graph
 # ---------------------------------------------------------------------------
@@ -4700,6 +4775,7 @@ _FRONT = [
     "bel_snp_genes", "ann_ivfpq_residual_topk", "ann_lsh_multiprobe_topk",
     "ann_recall_multiprobe", "bel_horn_rules", "ann_hybrid_rrf",
     "bel_clustering_coefficient", "bel_schema_graph", "doc_c4_rules",
+    "bel_node2vec_walks",
     # flagships re-checked every round — the queries the project exists for
     "bel_triples", "bel_nodes", "bel_validation_errors",
     "bel_relation_counts", "bel_edge_dedup_counts",
@@ -4710,7 +4786,7 @@ _FRONT = [
     "bel_kcore", "bel_components", "bel_paths", "bel_match",
     # dedup / ANN / multimodal representatives
     "doc_minhash_pairs", "doc_simhash_pairs",
-    "ann_ivf_topk", "ann_ivfpq_topk", "semantic_dup_pairs",
+    "ann_ivf_topk", "semantic_dup_pairs",
     "multimodal_features", "stream_minhash_hits",
 ]
 
@@ -4734,11 +4810,12 @@ def oracle_sql() -> dict:
     # the bel_* and doc-hash oracles read driver-side parquet projections;
     # build them here too so the SQL works no matter which side the driver
     # runs first
-    from .oracle_data import ensure_snp_tables
+    from .oracle_data import ensure_node2vec_tables, ensure_snp_tables
     from .oracle_docs import (ensure_docs_oracle_tables,
                               ensure_vecs_oracle_tables)
     _ensure_oracle()
     ensure_docs_oracle_tables()
     ensure_vecs_oracle_tables()
     ensure_snp_tables()
+    ensure_node2vec_tables()
     return {name: sql for name, (_, sql) in QUERIES.items() if sql}

@@ -530,3 +530,48 @@ class TestAdamicAdar:
         assert G.adamic_adar(e, max_hub=4, min_common=1).count() == 0
         # with the cap raised the 10 pairs appear
         assert G.adamic_adar(e, max_hub=8, min_common=1).count() == 10
+
+
+class TestNode2vec:
+    def test_node2vec_walk_invariants_and_bias(self, spark):
+        from ebel_spark import graph as G
+        from ebel_spark.oracle_xxh import spark_xxhash64_str
+        edges = [("a", "b"), ("b", "a"), ("b", "c"), ("b", "d"),
+                 ("a", "c"), ("c", "d"), ("d", "a")]
+        e = spark.createDataFrame(edges, ["u", "v"])
+        p_param, q_param = 4.0, 0.25
+        walks = G.node2vec_walks(e, walks_per_node=2, walk_len=3,
+                                 p=p_param, q=q_param).collect()
+        eset = set(edges)
+        by_walk = {}
+        for r in walks:
+            by_walk.setdefault((r.start, r.walk), {})[r.step] = r.node
+        for (start, w), steps in by_walk.items():
+            ks = sorted(steps)
+            assert ks == list(range(len(ks)))  # no gaps
+            assert steps[0] == start
+            for t in range(1, len(ks)):
+                assert (steps[t - 1], steps[t]) in eset  # real edges
+        # python replica of one biased transition: whatever state
+        # (prev, cur) the walk (a, 0) reaches at step 1->2, the chosen
+        # step-2 node must equal the key-argmin over cur's out-neighbors
+        out_adj = {}
+        for u, v in edges:
+            out_adj.setdefault(u, []).append(v)
+        st = by_walk[("a", 0)]
+        if 2 in st:
+            prev, cur = st[0], st[1]
+            mult = {}
+            for v in out_adj[cur]:
+                if v == prev:
+                    mult[v] = int(p_param * G.N2V_SCALE)
+                elif (prev, v) in eset:
+                    mult[v] = G.N2V_SCALE
+                else:
+                    mult[v] = int(q_param * G.N2V_SCALE)
+            expect = min(
+                out_adj[cur],
+                key=lambda v: (
+                    (spark_xxhash64_str(f"{prev}|{cur}|0|1|{v}")
+                     % G.N2V_HMOD) * mult[v], v))
+            assert st[2] == expect
