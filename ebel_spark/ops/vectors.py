@@ -710,7 +710,11 @@ def ivfpq_topk(
         # residual vectors: v - centroid[own list], bound as a real
         # column before the encode fold references it (the HOF-rebinding
         # lesson — see ivf_outliers)
-        res = (
+        from .dedup import _pin
+        # pinned: consumed by pq_train's seed collect + Lloyd sums AND
+        # the encode pass — without the persist each action re-runs the
+        # nearest-list assignment over the whole corpus
+        res = _pin(
             attach_model(assigned, cents, "_rcmat")
             .withColumn(
                 "_cvec",
