@@ -4449,7 +4449,7 @@ def bel_snp_genes(spark, sf_dir):
     return snp_gene_map(snps, ens)
 
 
-def _node2vec_oracle_sql() -> str:
+def _node2vec_oracle_sql(final: str = "") -> str:
     """Chained-CTE DuckDB twin of graph.node2vec_walks: step 0 is the
     DeepWalk min-selection over walk_hashes (t=0); steps >= 1 are
     min-selections over the driver-computed biased keys (n2v_hashes),
@@ -4496,7 +4496,14 @@ tr{t} AS MATERIALIZED (
         f"SELECT start, walk, CAST({t} AS INTEGER) AS step, node FROM s{t}"
         for t in range(1, WALK_LEN + 1)
     ]
-    parts.append("\n" + "\nUNION ALL ".join(selects))
+    body = "\nUNION ALL ".join(selects)
+    if not final:
+        parts.append("\n" + body)
+    else:
+        parts.append(f""",
+walks AS MATERIALIZED (
+{body}
+){final}""")
     return "".join(parts)
 
 
@@ -4522,6 +4529,36 @@ def bel_node2vec_walks(spark, sf_dir):
     )
     return G.node2vec_walks(e, walks_per_node=WALKS_PER_NODE,
                             walk_len=WALK_LEN, p=N2V_P, q=N2V_Q)
+
+
+@q("bel_node2vec_pairs", _node2vec_oracle_sql(final="""
+SELECT a.node AS center, b.node AS context,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.start = b.start AND a.walk = b.walk
+ AND abs(a.step - b.step) <= 2 AND a.step <> b.step
+GROUP BY a.node, b.node"""))
+def bel_node2vec_pairs(spark, sf_dir):
+    """Skip-gram (center, context) pair counts from the node2vec-biased
+    walk corpus (graph.node2vec_walks + skipgram_pairs, window 2) —
+    the training examples the p/q-tuned embedding job consumes; same
+    bounded per-walk self-join as bel_walk_pairs over the biased
+    walks."""
+    from . import graph as G
+    from . import parse as P
+    from .oracle_data import (N2V_P, N2V_Q, WALK_LEN, WALKS_PER_NODE,
+                              ensure_node2vec_tables)
+    ensure_node2vec_tables()
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    w = G.node2vec_walks(e, walks_per_node=WALKS_PER_NODE,
+                         walk_len=WALK_LEN, p=N2V_P, q=N2V_Q)
+    return G.skipgram_pairs(w, window=2)
 
 
 # ---------------------------------------------------------------------------
@@ -4775,7 +4812,7 @@ _FRONT = [
     "bel_snp_genes", "ann_ivfpq_residual_topk", "ann_lsh_multiprobe_topk",
     "ann_recall_multiprobe", "bel_horn_rules", "ann_hybrid_rrf",
     "bel_clustering_coefficient", "bel_schema_graph", "doc_c4_rules",
-    "bel_node2vec_walks",
+    "bel_node2vec_walks", "bel_node2vec_pairs",
     # flagships re-checked every round — the queries the project exists for
     "bel_triples", "bel_nodes", "bel_validation_errors",
     "bel_relation_counts", "bel_edge_dedup_counts",
@@ -4787,7 +4824,7 @@ _FRONT = [
     # dedup / ANN / multimodal representatives
     "doc_minhash_pairs", "doc_simhash_pairs",
     "ann_ivf_topk", "semantic_dup_pairs",
-    "multimodal_features", "stream_minhash_hits",
+    "multimodal_features",
 ]
 
 
