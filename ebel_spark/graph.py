@@ -1689,8 +1689,13 @@ def mine_horn_rules(
                       (x != z; reflexive chains are noise, documented)
       support       = |body ∧ r3(x, z)| — body groundings the head
                       also covers
-      confidence    = support / |body|, rounded BEFORE the min_conf
-                      filter so both engines cut identically
+      confidence    = support / |body| (CWA), rounded BEFORE the
+                      min_conf filter so both engines cut identically
+      conf_pca      = support / |{(x,z) ∈ body : ∃z' r3(x,z')}| — the
+                      paper's PCA confidence: the denominator counts
+                      only groundings whose subject is KNOWN to have
+                      SOME r3 edge, so open-world incompleteness does
+                      not punish the rule
 
     Scale shape: facts are deduplicated once (set semantics); the body
     is ONE self-equi-join on the join variable y and its grounding
@@ -1739,8 +1744,18 @@ def mine_horn_rules(
         .groupBy("r1", "r2", "r3")
         .agg(F.count(F.lit(1)).alias("support"))
     )
+    # PCA denominator: body groundings whose subject has SOME r3 edge —
+    # one join of the body against the distinct (r3, x) projection
+    # (fanout bounded by relations-per-subject, vocabulary-sized)
+    head_x = heads.select("r3", "x").distinct()
+    pca = (
+        body.join(head_x, "x")
+        .groupBy("r1", "r2", "r3")
+        .agg(F.count(F.lit(1)).alias("pca_body"))
+    )
     return (
         support.join(body_size, ["r1", "r2"])
+        .join(pca, ["r1", "r2", "r3"])
         .filter(F.col("support") >= min_support)
         .withColumn(
             "conf",
@@ -1750,7 +1765,10 @@ def mine_horn_rules(
         .select("r1", "r2", "r3",
                 F.col("support").cast("long").alias("support"),
                 F.col("body_size").cast("long").alias("body_size"),
-                "conf")
+                "conf",
+                F.col("pca_body").cast("long").alias("pca_body"),
+                F.round(F.col("support").cast("double")
+                        / F.col("pca_body"), decimals).alias("conf_pca"))
     )
 
 

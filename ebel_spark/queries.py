@@ -4698,11 +4698,19 @@ WITH f AS MATERIALIZED (
   SELECT b.r1, b.r2, f.r AS r3, count(*) AS support
   FROM body b JOIN f ON f.u = b.x AND f.v = b.z
   GROUP BY 1, 2, 3
+), hx AS (
+  SELECT DISTINCT r AS r3, u AS x FROM f
+), pca AS (
+  SELECT b.r1, b.r2, h.r3, count(*) AS pca_body
+  FROM body b JOIN hx h ON h.x = b.x
+  GROUP BY 1, 2, 3
 )
 SELECT r1, r2, r3, CAST(support AS BIGINT) AS support,
        CAST(body_size AS BIGINT) AS body_size,
-       round(CAST(support AS DOUBLE) / body_size, 6) AS conf
-FROM sup JOIN bs USING (r1, r2)
+       round(CAST(support AS DOUBLE) / body_size, 6) AS conf,
+       CAST(pca_body AS BIGINT) AS pca_body,
+       round(CAST(support AS DOUBLE) / pca_body, 6) AS conf_pca
+FROM sup JOIN bs USING (r1, r2) JOIN pca USING (r1, r2, r3)
 WHERE support >= 2
   AND round(CAST(support AS DOUBLE) / body_size, 6) >= 0.05
 """)

@@ -1431,12 +1431,28 @@ class TestHornRulesAndRrf:
         facts = [("a", "inc", "b"), ("b", "inc", "c"), ("a", "inc", "c"),
                  ("d", "inc", "e"), ("e", "inc", "f")]
         df = spark.createDataFrame(facts, ["u", "r", "v"])
-        got = {(r.r1, r.r2, r.r3): (r.support, r.body_size, r.conf)
+        got = {(r.r1, r.r2, r.r3):
+               (r.support, r.body_size, r.conf, r.pca_body, r.conf_pca)
                for r in G.mine_horn_rules(df, min_support=1,
                                           min_conf=0.0).collect()}
         # bodies: (a,c) via b and (d,f) via e -> body_size 2; only (a,c)
-        # carries the inc head -> support 1, conf 0.5
-        assert got[("inc", "inc", "inc")] == (1, 2, 0.5)
+        # carries the inc head -> support 1, conf 0.5.  PCA: both body
+        # subjects a and d have SOME inc edge -> pca_body 2, same conf
+        assert got[("inc", "inc", "inc")] == (1, 2, 0.5, 2, 0.5)
+
+    def test_mine_horn_rules_pca_vs_cwa(self, spark):
+        from ebel_spark import graph as G
+        # rule (oth, inc) => inc: bodies (a,c) [x=a] and (d,f) [x=d];
+        # head inc(a,c) exists; subject a HAS an inc edge, subject d has
+        # NONE -> CWA conf 1/2, PCA conf 1/1 (open-world correction)
+        facts = [("a", "oth", "b"), ("b", "inc", "c"), ("a", "inc", "c"),
+                 ("d", "oth", "e"), ("e", "inc", "f")]
+        df = spark.createDataFrame(facts, ["u", "r", "v"])
+        got = {(r.r1, r.r2, r.r3):
+               (r.support, r.body_size, r.conf, r.pca_body, r.conf_pca)
+               for r in G.mine_horn_rules(df, min_support=1,
+                                          min_conf=0.0).collect()}
+        assert got[("oth", "inc", "inc")] == (1, 2, 0.5, 1, 1.0)
 
     def test_mine_horn_rules_mid_degree_cap(self, spark):
         from ebel_spark import graph as G
