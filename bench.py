@@ -72,6 +72,10 @@ HEADLINE_QUERIES = [
     "bel_snp_genes",
     "ann_ivfpq_residual_topk",
     "ann_lsh_multiprobe_topk",
+    # round-4 late additions: AMIE rule mining (fact self-join + bounded
+    # rollups) and node2vec walks (2-path biased transition table)
+    "bel_horn_rules",
+    "bel_node2vec_walks",
 ]
 
 
