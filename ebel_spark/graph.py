@@ -1974,3 +1974,56 @@ def node2vec_walks(
             cur.select("start", "walk", "node")
             .withColumn("step", F.lit(t + 1)))
     return out
+
+
+def node_merge_map(
+    nodes: DataFrame,
+    node_class: str = "node_class",
+    name: str = "name",
+    bel: str = "bel",
+    decimals: int = 6,
+) -> DataFrame:
+    """Entity-resolution merge map: group nodes of the same class whose
+    names differ only by case/punctuation (lower + strip non-alnum) and
+    elect a canonical representative per group — the label-normalization
+    pass of KG construction (the reference resolves these one rid-cache
+    lookup at a time; here it is one aggregation).  The canonical node
+    is the group's most frequent surface form, ties to the
+    lexicographically smallest bel string — a total order, so the map
+    is deterministic on both engines.
+
+    Scale shape: one map-side-combined count per (class, norm, bel),
+    one per-group max-struct election (no window over raw nodes), one
+    broadcast-friendly output keyed by every member bel.  Only groups
+    with >= 2 distinct surface forms are emitted (the actual merges).
+
+    Returns (node_class, norm_name, bel, canonical_bel, n_forms).
+    """
+    norm = F.regexp_replace(F.lower(F.col(name)), "[^a-z0-9]+", "")
+    per_form = (
+        nodes.filter(F.col(name).isNotNull())
+        .select(F.col(node_class).alias("node_class"), norm.alias("norm_name"),
+                F.col(bel).alias("bel"))
+        .groupBy("node_class", "norm_name", "bel")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    # canonical = max over (n_occ, reversed-bel): most frequent form wins,
+    # ties break to the SMALLEST bel — encode as a struct max with the
+    # bel compared descending via a sort-inverted key on both engines:
+    # simplest exact twin is min over (-n_occ, bel)
+    groups = (
+        per_form.groupBy("node_class", "norm_name")
+        .agg(
+            F.min(F.struct((-F.col("n_occ")).alias("neg"),
+                           F.col("bel").alias("b"))).alias("m"),
+            F.count(F.lit(1)).alias("n_forms"),
+        )
+        .filter(F.col("n_forms") >= 2)
+        .select("node_class", "norm_name",
+                F.col("m.b").alias("canonical_bel"), "n_forms")
+    )
+    return (
+        per_form.join(groups, ["node_class", "norm_name"])
+        .select("node_class", "norm_name", "bel", "canonical_bel",
+                F.col("n_forms").cast("long").alias("n_forms"))
+    )

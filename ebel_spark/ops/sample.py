@@ -393,3 +393,72 @@ def stratified_sample(
         .filter(F.col("_rn") <= F.col("quota"))
         .select(id_col, stratum_col)
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    n_target: int,
+    weight_scale: int = 1_000_000,
+    salt: str = "tmix:",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-LM sampling
+    rule of Conneau & Lample 2019 / mT5 at alpha = 0.5): source s is
+    drawn with probability proportional to sqrt(n_s) instead of n_s,
+    upweighting low-resource sources.  Seats are assigned by the same
+    largest-remainder (Hamilton) quota arithmetic as stratified_sample,
+    but over weights w_s = floor(sqrt(n_s) * weight_scale) — sqrt is
+    IEEE-correctly-rounded on every engine and the floor makes the
+    weight an exact integer, so quotas are all-integer and
+    engine-identical (general pow() is NOT correctly rounded, which is
+    why alpha is fixed at 0.5 here).  Rows within a source are chosen
+    by deterministic hash order.
+
+    A heavily upweighted small source can be awarded more seats than it
+    has rows; its quota is capped at n_s (the emitted rows then
+    undershoot n_target — callers needing exactness redistribute or
+    lower n_target; the cap is mirrored in the SQL twin).
+
+    Returns (id_col, source_col) of the selected rows.
+    """
+    s = df.select(
+        F.col(id_col), F.col(source_col),
+        hash_order(F.col(id_col), salt=salt).alias("_h"),
+    )
+    counts = s.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    w = counts.select(
+        source_col, "n_s",
+        F.floor(F.sqrt(F.col("n_s")) * F.lit(weight_scale))
+        .cast("long").alias("w"),
+    )
+    tot = w.agg(F.sum("w").alias("w_all"))
+    q0 = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            source_col, "n_s",
+            F.expr(f"{n_target} * w div w_all").alias("base"),
+            F.expr(f"{n_target} * w % w_all").alias("rem"),
+        )
+    )
+    all_w = Window.partitionBy(F.lit(1))
+    rank_w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("rem"), F.asc(source_col))
+    quotas = q0.select(
+        source_col,
+        F.least(
+            F.col("n_s"),
+            F.col("base")
+            + F.when(
+                F.row_number().over(rank_w)
+                <= F.lit(n_target) - F.sum("base").over(all_w), 1)
+            .otherwise(0)).alias("quota"),
+    )
+    rn_w = Window.partitionBy(source_col).orderBy(F.asc("_h"),
+                                                  F.asc(id_col))
+    return (
+        s.join(F.broadcast(quotas), source_col)
+        .withColumn("_rn", F.row_number().over(rn_w))
+        .filter(F.col("_rn") <= F.col("quota"))
+        .select(id_col, source_col)
+    )

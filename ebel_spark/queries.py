@@ -1805,6 +1805,48 @@ def doc_stratified_sample(spark, sf_dir):
     return S.stratified_sample(d, "source", "doc_id", n_target=100)
 
 
+@q("doc_temperature_mix", """
+WITH s AS (
+  SELECT doc_id, source,
+         md5('tmix:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT source, count(*) AS n_s FROM s GROUP BY source
+), w AS (
+  SELECT source, n_s,
+         CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1000000) AS BIGINT) AS wt
+  FROM c
+), t AS (
+  SELECT sum(wt) AS w_all FROM w
+), q0 AS (
+  SELECT source, n_s, (100 * wt) // w_all AS base, (100 * wt) % w_all AS rem
+  FROM w CROSS JOIN t
+), q AS (
+  SELECT source,
+         least(n_s,
+               base + CASE WHEN row_number()
+                             OVER (ORDER BY rem DESC, source)
+                           <= 100 - (SELECT sum(base) FROM q0)
+                      THEN 1 ELSE 0 END) AS quota
+  FROM q0
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM s
+)
+SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= quota
+""")
+def doc_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing at alpha=0.5 (Conneau & Lample
+    2019 / mT5; ops/sample.temperature_mix): seats go by largest-
+    remainder quotas over w_s = floor(sqrt(n_s)*1e6) — sqrt is IEEE-
+    correctly-rounded on both engines and the scaled floor makes the
+    weight an exact integer, so the low-resource upweighting is
+    engine-identical; per-source rows by deterministic hash order."""
+    d = _t(spark, sf_dir, "documents")
+    return S.temperature_mix(d, "source", "doc_id", n_target=100)
+
+
 @q("doc_boundary_overlap", r"""
 WITH w AS (
   SELECT doc_id,
@@ -4680,6 +4722,43 @@ def doc_c4_rules(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# entity-resolution node merge map
+# ---------------------------------------------------------------------------
+
+@q("bel_node_merge_map", f"""
+WITH pf AS (
+  SELECT node_class,
+         regexp_replace(lower(name), '[^a-z0-9]+', '', 'g') AS norm_name,
+         bel, count(*) AS n_occ
+  FROM read_parquet('{_OB}/nodes_raw/*.parquet')
+  WHERE name IS NOT NULL
+  GROUP BY 1, 2, 3
+), g AS (
+  SELECT node_class, norm_name, bel AS canonical_bel, n_forms FROM (
+    SELECT node_class, norm_name, bel,
+           row_number() OVER (PARTITION BY node_class, norm_name
+                              ORDER BY n_occ DESC, bel ASC) AS rn,
+           count(*) OVER (PARTITION BY node_class, norm_name) AS n_forms
+    FROM pf) WHERE rn = 1 AND n_forms >= 2
+)
+SELECT pf.node_class, pf.norm_name, pf.bel, g.canonical_bel,
+       CAST(g.n_forms AS BIGINT) AS n_forms
+FROM pf JOIN g USING (node_class, norm_name)
+""")
+def bel_node_merge_map(spark, sf_dir):
+    """Entity-resolution merge map (graph.node_merge_map): nodes of the
+    same class whose names collide after case/punctuation folding (the
+    HGNC-vs-MGI surface variants in the corpus) get a deterministic
+    canonical representative (most frequent form, ties to smallest
+    bel).  One count agg + one per-group max-struct election — the
+    reference's one-lookup-per-node resolution as set algebra."""
+    from . import graph as G
+    base = _ensure_oracle()
+    nodes_raw = spark.read.parquet(f"{base}/nodes_raw")
+    return G.node_merge_map(nodes_raw)
+
+
+# ---------------------------------------------------------------------------
 # §2.9 AMIE-style Horn-rule mining (KG relation inference)
 # ---------------------------------------------------------------------------
 
@@ -4821,6 +4900,7 @@ _FRONT = [
     "ann_recall_multiprobe", "bel_horn_rules", "ann_hybrid_rrf",
     "bel_clustering_coefficient", "bel_schema_graph", "doc_c4_rules",
     "bel_node2vec_walks", "bel_node2vec_pairs",
+    "bel_node_merge_map", "doc_temperature_mix",
     # flagships re-checked every round — the queries the project exists for
     "bel_triples", "bel_nodes", "bel_validation_errors",
     "bel_relation_counts", "bel_edge_dedup_counts",
@@ -4831,8 +4911,7 @@ _FRONT = [
     "bel_kcore", "bel_components", "bel_paths", "bel_match",
     # dedup / ANN / multimodal representatives
     "doc_minhash_pairs", "doc_simhash_pairs",
-    "ann_ivf_topk", "semantic_dup_pairs",
-    "multimodal_features",
+    "semantic_dup_pairs",
 ]
 
 

@@ -1537,3 +1537,52 @@ class TestProfilingOps:
         assert got[1].has_lorem and not got[1].keep
         assert got[2].has_brace and not got[2].keep
         assert got[3].kept_lines == 0 and not got[3].keep
+
+
+class TestEntityResolutionAndTempMix:
+    def test_node_merge_map_hand_case(self, spark):
+        from ebel_spark import graph as G
+        rows = [
+            ("gene", "AKT1", 'g(HGNC:"AKT1")'),
+            ("gene", "AKT1", 'g(HGNC:"AKT1")'),
+            ("gene", "Akt1", 'g(MGI:"Akt1")'),
+            ("gene", "APP", 'g(HGNC:"APP")'),      # singleton -> no merge
+            ("protein", "akt-1", 'p(X:"akt-1")'),  # other class
+            ("protein", "AKT1", 'p(Y:"AKT1")'),
+        ]
+        df = spark.createDataFrame(rows, ["node_class", "name", "bel"])
+        got = {(r.node_class, r.bel): (r.canonical_bel, r.n_forms)
+               for r in G.node_merge_map(df).collect()}
+        # gene akt1 group: HGNC form occurs twice -> canonical
+        assert got[("gene", 'g(HGNC:"AKT1")')] == ('g(HGNC:"AKT1")', 2)
+        assert got[("gene", 'g(MGI:"Akt1")')] == ('g(HGNC:"AKT1")', 2)
+        # protein akt1 group: tie (1 vs 1) -> smallest bel wins
+        assert got[("protein", 'p(Y:"AKT1")')][0] == 'p(X:"akt-1")'
+        assert ("gene", 'g(HGNC:"APP")') not in got
+
+    def test_temperature_mix_upweights_small_sources(self, spark):
+        from ebel_spark.ops import sample as S
+        # 900 rows of "big", 100 of "small": proportional would give the
+        # small source ~10/100; sqrt weighting gives 100*10/(30+10) = 25
+        rows = ([(i, "big") for i in range(900)]
+                + [(1000 + i, "small") for i in range(100)])
+        df = spark.createDataFrame(rows, ["id", "src"])
+        got = S.temperature_mix(df, "src", "id", n_target=100).collect()
+        n_small = sum(1 for r in got if r.src == "small")
+        assert len(got) == 100
+        assert n_small == 25
+        # determinism
+        again = S.temperature_mix(df, "src", "id", n_target=100).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    def test_temperature_mix_caps_at_source_size(self, spark):
+        from ebel_spark.ops import sample as S
+        # tiny source upweighted past its size: quota capped at n_s,
+        # output undershoots n_target (documented behavior)
+        rows = ([(i, "big") for i in range(400)]
+                + [(1000 + i, "tiny") for i in range(2)])
+        df = spark.createDataFrame(rows, ["id", "src"])
+        got = S.temperature_mix(df, "src", "id", n_target=60).collect()
+        n_tiny = sum(1 for r in got if r.src == "tiny")
+        assert n_tiny == 2
+        assert len(got) <= 60
