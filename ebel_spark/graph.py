@@ -2027,3 +2027,57 @@ def node_merge_map(
         .select("node_class", "norm_name", "bel", "canonical_bel",
                 F.col("n_forms").cast("long").alias("n_forms"))
     )
+
+
+def link_prediction_eval(
+    edges: DataFrame,
+    k: int = 20,
+    holdout_bucket: int = 9,
+    n_buckets: int = 10,
+    max_hub: int = 64,
+    min_common: int = 2,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Hits@k evaluation of Adamic-Adar link prediction — the harness a
+    KG-completion deployment runs before trusting proposed edges: hold
+    out a deterministic hash slice of the undirected edges (bucket =
+    md5 of the canonical pair, so the split is a pure function of the
+    edge and identical on any engine), score the REMAINING graph with
+    adamic_adar, rank all candidate pairs globally by (aa desc, pair),
+    and report for every held-out edge whether the predictor recovered
+    it and at what rank (hit = rank <= k).
+
+    Scale shape: scoring inherits adamic_adar's bounded inverted index;
+    the global ranking window sorts only the candidate-pair table
+    (min_common-filtered — eval-sized, not corpus-sized) through one
+    task, acceptable for an EVAL artifact (shard it per-source-node for
+    per-query ranking at larger scales); the final join keys on the
+    canonical pair.
+
+    Returns (a, b, rank, aa, hit) for every held-out edge; rank/aa NULL
+    and hit false when the predictor never proposed the pair.
+    """
+    und = undirected_edges(edges, src, dst).transform(cut_lineage)
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("lp:"), F.col("a"), F.lit("|"),
+                           F.col("b"))), 1, 8), 16, 10)
+        .cast("long") % n_buckets
+    )
+    und = und.withColumn("_bkt", bucket)
+    test = und.filter(F.col("_bkt") == holdout_bucket).select("a", "b")
+    train = und.filter(F.col("_bkt") != holdout_bucket).select(
+        F.col("a").alias("u"), F.col("b").alias("v"))
+    preds = adamic_adar(train, max_hub=max_hub, min_common=min_common)
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.desc("aa"), F.asc("x"), F.asc("y"))
+    ranked = preds.withColumn("rank", F.row_number().over(w))
+    return (
+        test.join(
+            ranked.select(F.col("x").alias("a"), F.col("y").alias("b"),
+                          "rank", "aa"),
+            ["a", "b"], "left")
+        .select("a", "b", F.col("rank").cast("long").alias("rank"), "aa",
+                F.coalesce(F.col("rank") <= k, F.lit(False)).alias("hit"))
+    )

@@ -4721,6 +4721,76 @@ def doc_c4_rules(spark, sf_dir):
     return T.c4_rules(d, "doc_id", "text")
 
 
+def _lp_eval_oracle_sql(k: int = 20, holdout: int = 9, n_buckets: int = 10,
+                        max_hub: int = 64, min_common: int = 2) -> str:
+    """DuckDB twin of graph.link_prediction_eval: same md5 pair-bucket
+    holdout, the adamic_adar fixed-point CTE chain over the TRAIN slice,
+    a global (aa desc, pair) ranking, and the left join back to the
+    held-out edges."""
+    from .graph import aa_contrib_table
+    contrib = aa_contrib_table(max_hub)
+    case = "CASE hd " + " ".join(
+        f"WHEN {kk} THEN CAST({vv} AS BIGINT)" for kk, vv in contrib.items()
+    ) + " END"
+    return f"""
+WITH e0 AS (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), und AS MATERIALIZED (
+  SELECT a, b,
+         ('0x' || substr(md5('lp:' || a || '|' || b), 1, 8))::UBIGINT
+           % {n_buckets} AS bkt
+  FROM (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM e0 WHERE u <> v)
+), test AS MATERIALIZED (
+  SELECT a, b FROM und WHERE bkt = {holdout}
+), tr AS MATERIALIZED (
+  SELECT a, b FROM und WHERE bkt <> {holdout}
+), adj AS MATERIALIZED (
+  SELECT a AS n, b AS h FROM tr UNION ALL SELECT b, a FROM tr
+), hub AS MATERIALIZED (
+  SELECT h, count(*) AS hd FROM adj GROUP BY h
+), capped AS MATERIALIZED (
+  SELECT adj.h, adj.n, {case} AS c
+  FROM adj JOIN hub USING (h)
+  WHERE hd >= 2 AND hd <= {max_hub}
+), preds AS MATERIALIZED (
+  SELECT a1.n AS x, a2.n AS y,
+         round(sum(a1.c) / 1e12, 6) AS aa
+  FROM capped a1 JOIN capped a2 ON a1.h = a2.h AND a1.n < a2.n
+  GROUP BY a1.n, a2.n
+  HAVING count(*) >= {min_common}
+), ranked AS MATERIALIZED (
+  SELECT x, y, aa,
+         row_number() OVER (ORDER BY aa DESC, x ASC, y ASC) AS rank
+  FROM preds
+)
+SELECT t.a, t.b, CAST(r.rank AS BIGINT) AS rank, r.aa,
+       coalesce(r.rank <= {k}, false) AS hit
+FROM test t LEFT JOIN ranked r ON r.x = t.a AND r.y = t.b
+"""
+
+
+@q("bel_link_prediction_eval", _lp_eval_oracle_sql())
+def bel_link_prediction_eval(spark, sf_dir):
+    """Hits@k evaluation of Adamic-Adar KG link prediction on a
+    deterministic md5 pair-bucket holdout (graph.link_prediction_eval):
+    train on 9/10 of the undirected edges, rank all AA candidates, and
+    report recovery rank per held-out edge — the acceptance harness a
+    KG-completion loop runs before promoting proposed edges."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    return G.link_prediction_eval(e, k=20)
+
+
 # ---------------------------------------------------------------------------
 # entity-resolution node merge map
 # ---------------------------------------------------------------------------
@@ -4900,7 +4970,7 @@ _FRONT = [
     "ann_recall_multiprobe", "bel_horn_rules", "ann_hybrid_rrf",
     "bel_clustering_coefficient", "bel_schema_graph", "doc_c4_rules",
     "bel_node2vec_walks", "bel_node2vec_pairs",
-    "bel_node_merge_map", "doc_temperature_mix",
+    "bel_node_merge_map", "doc_temperature_mix", "bel_link_prediction_eval",
     # flagships re-checked every round — the queries the project exists for
     "bel_triples", "bel_nodes", "bel_validation_errors",
     "bel_relation_counts", "bel_edge_dedup_counts",
@@ -4911,7 +4981,6 @@ _FRONT = [
     "bel_kcore", "bel_components", "bel_paths", "bel_match",
     # dedup / ANN / multimodal representatives
     "doc_minhash_pairs", "doc_simhash_pairs",
-    "semantic_dup_pairs",
 ]
 
 

@@ -575,3 +575,27 @@ class TestNode2vec:
                     (spark_xxhash64_str(f"{prev}|{cur}|0|1|{v}")
                      % G.N2V_HMOD) * mult[v], v))
             assert st[2] == expect
+
+
+class TestLinkPredictionEval:
+    def test_lp_eval_invariants(self, spark):
+        from ebel_spark import graph as G
+        # dense-ish random-free graph: cliques give AA plenty of signal
+        edges = [(f"n{i}", f"n{j}") for i in range(12) for j in range(12)
+                 if i < j and (i + j) % 3 != 0]
+        e = spark.createDataFrame(edges, ["u", "v"])
+        got = G.link_prediction_eval(e, k=5, min_common=1).collect()
+        und = {(min(a, b), max(a, b)) for a, b in edges}
+        # every output row is a held-out undirected edge
+        assert {(r.a, r.b) for r in got} <= und
+        assert 0 < len(got) < len(und)  # a proper holdout slice
+        ranks = [r.rank for r in got if r.rank is not None]
+        assert len(ranks) == len(set(ranks))  # global ranks unique
+        for r in got:
+            if r.hit:
+                assert r.rank is not None and r.rank <= 5
+            if r.rank is None:
+                assert not r.hit and r.aa is None
+        # deterministic
+        again = G.link_prediction_eval(e, k=5, min_common=1).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, again))
