@@ -2000,10 +2000,15 @@ def node_merge_map(
     Returns (node_class, norm_name, bel, canonical_bel, n_forms).
     """
     norm = F.regexp_replace(F.lower(F.col(name)), "[^a-z0-9]+", "")
+    # r4 ADVICE: names made entirely of non-[a-z0-9] characters (Greek
+    # letters, CJK symbols — common in bio nomenclature) normalize to ''
+    # and would otherwise collapse ALL such unrelated nodes of a class
+    # into one merge group; drop empty-norm rows before grouping.
     per_form = (
         nodes.filter(F.col(name).isNotNull())
         .select(F.col(node_class).alias("node_class"), norm.alias("norm_name"),
                 F.col(bel).alias("bel"))
+        .filter(F.col("norm_name") != "")
         .groupBy("node_class", "norm_name", "bel")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )

@@ -4802,6 +4802,7 @@ WITH pf AS (
          bel, count(*) AS n_occ
   FROM read_parquet('{_OB}/nodes_raw/*.parquet')
   WHERE name IS NOT NULL
+    AND regexp_replace(lower(name), '[^a-z0-9]+', '', 'g') <> ''
   GROUP BY 1, 2, 3
 ), g AS (
   SELECT node_class, norm_name, bel AS canonical_bel, n_forms FROM (

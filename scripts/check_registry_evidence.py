@@ -28,8 +28,15 @@ def main() -> int:
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         with open(path) as fd:
             rows = json.load(fd)
-        seen.update(n for n, r in rows.items()
-                    if isinstance(r, dict) and not r.get("err"))
+        # r4 ADVICE: a driver row only counts as hard evidence when it is
+        # GREEN (rows/schema/hash all match) — an err-free mismatch row
+        # (e.g. doc_budget_slice in r02) must not retire a query from the
+        # gate window, or a real regression rotates out unseen.
+        seen.update(
+            n for n, r in rows.items()
+            if isinstance(r, dict) and not r.get("err")
+            and r.get("rows_match") and r.get("schema_match")
+            and r.get("hash_match"))
 
     names = list(QUERIES)
     checked = [n for n in names if n in seen]

@@ -1560,6 +1560,24 @@ class TestEntityResolutionAndTempMix:
         assert got[("protein", 'p(Y:"AKT1")')][0] == 'p(X:"akt-1")'
         assert ("gene", 'g(HGNC:"APP")') not in got
 
+    def test_node_merge_map_empty_norm_not_merged(self, spark):
+        # r4 ADVICE: names that are entirely non-[a-z0-9] (Greek/CJK
+        # symbols) normalize to '' — unrelated nodes must NOT collapse
+        # into one mega merge group
+        from ebel_spark import graph as G
+        rows = [
+            ("gene", "αβγ", 'g(X:"αβγ")'),
+            ("gene", "ΔΕΖ", 'g(X:"ΔΕΖ")'),
+            ("gene", "漢字", 'g(X:"漢字")'),
+            ("gene", "AKT1", 'g(HGNC:"AKT1")'),
+            ("gene", "akt-1", 'g(MGI:"akt-1")'),
+        ]
+        df = spark.createDataFrame(rows, ["node_class", "name", "bel"])
+        out = G.node_merge_map(df).collect()
+        bels = {r.bel for r in out}
+        assert bels == {'g(HGNC:"AKT1")', 'g(MGI:"akt-1")'}
+        assert all(r.norm_name == "akt1" for r in out)
+
     def test_temperature_mix_upweights_small_sources(self, spark):
         from ebel_spark.ops import sample as S
         # 900 rows of "big", 100 of "small": proportional would give the
