@@ -165,6 +165,74 @@ def main(argv=None):
     # warm the JVM/catalog with a trivial action so timings measure queries
     spark.range(1).count()
 
+    result = {
+        "metric": "headline_queries_total",
+        "value": 0.0,
+        "unit": "sec",
+        "sf": sf,
+        "cpus": args.cpus,
+        "host_memcpy_probes_start": start_probes,
+    }
+
+    # ------------------------------------------------------------------
+    # Flagship BEL pipeline — runs FIRST (r4 VERDICT #1): the r4 artifact
+    # recorded 70.1 s for the pipeline because it ran LAST, after 35
+    # headline queries x 2 executions of accumulated JVM/Python-worker
+    # session state; an isolated same-code run measured 52.6 s.  Running
+    # it first makes the driver artifact measure the pipeline, not the
+    # session.  A second timed sample at the END (below) measures the
+    # session drag itself so it is attributable from the artifact alone.
+    # ------------------------------------------------------------------
+    src = None
+    out_root = scratch or tempfile.gettempdir()
+    if not args.skip_bel:
+        from ebel_spark.corpus import CorpusProfile, corpus_spark
+        from ebel_spark.pipeline import run_pipeline
+
+        profile = CorpusProfile(n_files=args.files,
+                                statements_per_file=args.stmts,
+                                error_rate=0.005)
+        # input generation is not pipeline work: materialize it first
+        src = corpus_spark(spark, profile).persist()
+        src.count()
+        if not args.cold:
+            # JIT warmup at the SAME size: AQE picks plan shapes from
+            # runtime sizes, so only a same-size run compiles the same
+            # generated classes (measured: the first execution of the
+            # edge-dedup aggregate runs 5-7x slower while C2 warms up;
+            # a long-lived cluster JVM is always past this)
+            warm_dir = tempfile.mkdtemp(prefix="belwarm_", dir=out_root)
+            run_pipeline(spark, src, warm_dir, with_hints=False,
+                         run_id="warm", dedup_source=False)
+            shutil.rmtree(warm_dir, ignore_errors=True)
+        # best of 2 timed runs: this sandbox is a shared-host VM whose
+        # effective DRAM bandwidth swings ~2x run-to-run (BENCH.md);
+        # a single sample conflates host noise with software cost
+        bel_wall, metrics = None, None
+        for attempt in range(1 if args.cold else 2):
+            run_dir = tempfile.mkdtemp(prefix="belrun_", dir=out_root)
+            t0 = time.time()
+            # synthetic corpus is unique by construction and already
+            # evenly partitioned -> skip the content-shuffling dedup
+            m = run_pipeline(
+                spark, src, run_dir, with_hints=False,
+                run_id=f"bench{attempt}", dedup_source=False)
+            w = time.time() - t0
+            shutil.rmtree(run_dir, ignore_errors=True)
+            if bel_wall is None or w < bel_wall:
+                bel_wall, metrics = w, m
+        result["bel_pipeline"] = {
+            "files": metrics["n_files"],
+            "statements": metrics["n_statements"],
+            "triples": metrics["n_triples"],
+            "wall_s": round(bel_wall, 3),
+            "statements_per_sec": round(
+                metrics["n_statements"] / bel_wall, 1),
+            "triples_per_sec": round(metrics["n_triples"] / bel_wall, 1),
+            "stages": metrics["stages"],
+        }
+        result["triples_per_sec"] = result["bel_pipeline"]["triples_per_sec"]
+
     per_query: dict[str, float] = {}
     per_query_cold: dict[str, float] = {}
     for name in ([] if args.bel_only else HEADLINE_QUERIES):
@@ -188,78 +256,32 @@ def main(argv=None):
         from ebel_spark.ops.dedup import release_pins
         release_pins()
 
-    result = {
-        "metric": "headline_queries_total",
-        "value": round(sum(per_query.values()), 3),
-        "unit": "sec",
-        "queries": per_query,
-        "queries_cold": per_query_cold,
-        "sf": sf,
-        "cpus": args.cpus,
-        "host_memcpy_gbps": host_memcpy_gbps(),
-        "host_memcpy_probes_start": start_probes,
-    }
+    result["queries"] = per_query
+    result["queries_cold"] = per_query_cold
+    result["value"] = round(sum(per_query.values()), 3)
+    result["host_memcpy_gbps"] = host_memcpy_gbps()
 
     if not args.skip_bel:
-        from ebel_spark.corpus import CorpusProfile, corpus_spark
         from ebel_spark.pipeline import run_pipeline
 
-        out_root = scratch or tempfile.gettempdir()
-        out_dir = tempfile.mkdtemp(prefix="belbench_", dir=out_root)
-        try:
-            profile = CorpusProfile(n_files=args.files,
-                                    statements_per_file=args.stmts,
-                                    error_rate=0.005)
-            # input generation is not pipeline work: materialize it first
-            src = corpus_spark(spark, profile).persist()
-            src.count()
-            if not args.cold:
-                # JIT warmup at the SAME size: AQE picks plan shapes from
-                # runtime sizes, so only a same-size run compiles the same
-                # generated classes (measured: the first execution of the
-                # edge-dedup aggregate runs 5-7x slower while C2 warms up;
-                # a long-lived cluster JVM is always past this)
-                warm_dir = tempfile.mkdtemp(prefix="belwarm_", dir=out_root)
-                run_pipeline(spark, src, warm_dir, with_hints=False,
-                             run_id="warm", dedup_source=False)
-                shutil.rmtree(warm_dir, ignore_errors=True)
-            # best of 2 timed runs: this sandbox is a shared-host VM whose
-            # effective DRAM bandwidth swings ~2x run-to-run (BENCH.md);
-            # a single sample conflates host noise with software cost
-            bel_wall, metrics = None, None
-            for attempt in range(1 if args.cold else 2):
-                run_dir = tempfile.mkdtemp(prefix="belrun_", dir=out_root)
-                t0 = time.time()
-                # synthetic corpus is unique by construction and already
-                # evenly partitioned -> skip the content-shuffling dedup
-                m = run_pipeline(
-                    spark, src, run_dir, with_hints=False,
-                    run_id=f"bench{attempt}", dedup_source=False)
-                w = time.time() - t0
-                if bel_wall is None or w < bel_wall:
-                    bel_wall, metrics = w, m
-                    if run_dir != out_dir:
-                        shutil.rmtree(out_dir, ignore_errors=True)
-                        out_dir = run_dir
-                else:
-                    shutil.rmtree(run_dir, ignore_errors=True)
-            result["bel_pipeline"] = {
-                "files": metrics["n_files"],
-                "statements": metrics["n_statements"],
-                "triples": metrics["n_triples"],
-                "wall_s": round(bel_wall, 3),
-                "statements_per_sec": round(
-                    metrics["n_statements"] / bel_wall, 1),
-                "triples_per_sec": round(metrics["n_triples"] / bel_wall, 1),
-                "stages": metrics["stages"],
-            }
-            result["queries"]["bel_pipeline"] = round(bel_wall, 3)
-            result["value"] = round(result["value"] + bel_wall, 3)
-            result["triples_per_sec"] = result["bel_pipeline"][
-                "triples_per_sec"]
-            src.unpersist()
-        finally:
-            shutil.rmtree(out_dir, ignore_errors=True)
+        result["queries"]["bel_pipeline"] = result["bel_pipeline"]["wall_s"]
+        result["value"] = round(
+            result["value"] + result["bel_pipeline"]["wall_s"], 3)
+        if not args.bel_only and not args.cold:
+            # second pipeline sample AFTER the query sweep: measures the
+            # session-state drag (stale codegen caches, Python workers,
+            # broadcast cleanup backlog) that contaminated the r4
+            # artifact, as its own number instead of inside the flagship
+            end_dir = tempfile.mkdtemp(prefix="belend_", dir=out_root)
+            t0 = time.time()
+            run_pipeline(spark, src, end_dir, with_hints=False,
+                         run_id="bench_end", dedup_source=False)
+            end_wall = time.time() - t0
+            shutil.rmtree(end_dir, ignore_errors=True)
+            result["bel_pipeline_end_of_session_wall_s"] = round(end_wall, 3)
+            result["session_drag_ratio"] = round(
+                end_wall / result["bel_pipeline"]["wall_s"], 3)
+        src.unpersist()
     if scratch:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -895,13 +895,24 @@ def _edge_support_und(und: DataFrame) -> DataFrame:
 def ktruss_peel(
     edges: DataFrame,
     k: int = 3,
-    rounds: int = 3,
+    rounds: int | None = 3,
     src: str = "u",
     dst: str = "v",
+    max_rounds: int = 50,
 ) -> DataFrame:
     """k-truss peeling: repeatedly drop every edge whose triangle support
     is below k-2 (`rounds` synchronous rounds — the fixed-round unrolling
     both engines compute identically; the exact k-truss is the fixpoint).
+
+    rounds=None peels TO the fixpoint — the exact k-truss (r4 VERDICT #5):
+    each round's surviving-edge count is compared to the previous round's
+    (one driver-side count() over the already-checkpointed frame, so it
+    schedules no recompute) and peeling stops when no edge dropped,
+    bounded by `max_rounds`.  The output then carries a constant
+    `converged` column — false only if max_rounds was hit first, the
+    convergence signal a fixed unrolling cannot give.  The fixed-`rounds`
+    mode is kept as the oracle-twin protocol (DuckDB unrolls the same
+    round count).
     The edge-centric sibling of kcore_peel: where k-core trims low-degree
     NODES, k-truss trims edges that aren't embedded in enough triangles —
     the standard cohesive-core extraction before relation-cluster mining.
@@ -924,20 +935,40 @@ def ktruss_peel(
     """
     und = undirected_edges(edges, src, dst).transform(cut_lineage)
     o = _orient_by_degree(und, keep_ab=True)
+    fixpoint = rounds is None
+    converged = True  # k <= 2: the whole graph IS the k-truss, trivially
 
     if k > 2:
-        for _ in range(rounds):
-            sup = _support_of_oriented(o)
-            o = o.join(
-                sup.filter(F.col("support") >= k - 2).select("a", "b"),
-                ["a", "b"], "left_semi",
-            ).transform(cut_lineage)
+        if fixpoint:
+            converged = False
+            prev = o.count()
+            for _ in range(max_rounds):
+                sup = _support_of_oriented(o)
+                o = o.join(
+                    sup.filter(F.col("support") >= k - 2).select("a", "b"),
+                    ["a", "b"], "left_semi",
+                ).transform(cut_lineage)
+                n = o.count()
+                if n == prev:
+                    converged = True
+                    break
+                prev = n
+        else:
+            for _ in range(rounds):
+                sup = _support_of_oriented(o)
+                o = o.join(
+                    sup.filter(F.col("support") >= k - 2).select("a", "b"),
+                    ["a", "b"], "left_semi",
+                ).transform(cut_lineage)
     final = _support_of_oriented(o)
-    return (
+    out = (
         o.select("a", "b").join(final, ["a", "b"], "left")
         .select("a", "b",
                 F.coalesce("support", F.lit(0)).cast("long").alias("support"))
     )
+    if fixpoint:
+        out = out.withColumn("converged", F.lit(bool(converged)))
+    return out
 
 
 def cooccurrence_pmi(statements: DataFrame, subj: str = "u",
@@ -1856,6 +1887,7 @@ def node2vec_walks(
     q: float = 0.5,
     src: str = "u",
     dst: str = "v",
+    max_hub: int | None = 4096,
 ) -> DataFrame:
     """Deterministic node2vec-biased walk corpus (Grover & Leskovec,
     KDD 2016): like random_walks, but from step 1 on the hop out of `u`
@@ -1879,11 +1911,21 @@ def node2vec_walks(
     Shape at scale: the biased transition depends on (prev, u, w, t),
     so the precomputed transition table lives on the DIRECTED 2-PATH
     domain — sum_u d_in(u)*d_out(u) rows, exactly the per-edge alias
-    tables the reference node2vec implementation precomputes.  That is
-    the op's documented memory cost (hub-quadratic; cap hubs upstream
-    if needed).  The adjacency flag is one equi-join of the candidate
-    table against the edge list on (prev, v); per-step state advance
-    stays a 1:1 join, states never fan out.
+    tables the reference node2vec implementation precomputes.  That
+    domain is hub-quadratic, so `max_hub` (r4 VERDICT #4, the same
+    discipline as adamic_adar(max_hub) / mine_horn_rules(max_mid_degree))
+    bounds it BY DEFAULT: any node with d_in*d_out > max_hub is excluded
+    from the 2-path domain and its outgoing hops fall back to the
+    UNBIASED DeepWalk rule (hash-argmin over "u|w|t|v", prev-independent
+    — one row per (hub, walk, t), d_out-linear).  Walks still continue
+    through hubs; only the p/q bias degrades there, where a
+    10^5-out-degree alias table would be noise anyway.  On a scale-free
+    KG this turns the worst node's cost from d_in*d_out (10^10 at a
+    10^5-degree hub) into d_out.  max_hub=None disables the guard
+    (exact node2vec everywhere — the pre-r5 behavior).  The adjacency
+    flag is one equi-join of the candidate table against the edge list
+    on (prev, v); per-step state advance stays a 1:1 join, states never
+    fan out.
 
     Returns (start, walk, step, node); step 0 = the start node.
     """
@@ -1910,12 +1952,27 @@ def node2vec_walks(
         .select(F.col("u").alias("node"), "walk", F.col("v").alias("nxt"))
     )
 
+    # hub guard: nodes whose 2-path fanout d_in*d_out exceeds max_hub
+    # leave the biased domain and get the prev-independent DeepWalk rule
+    hubs = None
+    if max_hub is not None:
+        dout = e.groupBy("u").agg(F.count(F.lit(1)).alias("d_out"))
+        din = (e.groupBy(F.col("v").alias("u"))
+               .agg(F.count(F.lit(1)).alias("d_in")))
+        hubs = (
+            dout.join(din, "u")
+            .filter(F.col("d_in") * F.col("d_out") > F.lit(max_hub))
+            .select("u")
+        )
+
     # biased transitions for t = 1..walk_len-1 over the 2-path domain
     two = (
         e.select(F.col("u").alias("prev"), F.col("v").alias("u"))
         .join(e, "u")
         .select("prev", "u", "v")
     )
+    if hubs is not None:
+        two = two.join(hubs, "u", "left_anti")
     mid = e.select(F.col("u").alias("prev"), F.col("v").alias("v"),
                    F.lit(1).alias("_mid"))
     steps = F.array(*[F.lit(t) for t in range(1, walk_len)])
@@ -1950,6 +2007,25 @@ def node2vec_walks(
                 F.col("v").alias("nxt"))
     )
 
+    # hub transitions: the unbiased random_walks hash-argmin, one row per
+    # (hub, walk, t) — d_out-linear where the biased table is d_in*d_out
+    trans_hub = None
+    if hubs is not None:
+        hH = F.xxhash64(F.concat_ws(
+            "|", F.col("u"), F.col("walk").cast("string"),
+            F.col("t").cast("string"), F.col("v")))
+        trans_hub = _pin(
+            e.join(hubs, "u", "left_semi")
+            .select("u", "v", F.explode(walk_ids).alias("walk"))
+            .select("u", "v", "walk", F.explode(steps).alias("t"))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("u", "walk", "t")
+                .orderBy(hH.asc(), F.col("v").asc())))
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node"), "walk", "t",
+                    F.col("v").alias("nxt_h"))
+        )
+
     cur = nodes.select(
         F.col("bel").alias("start"),
         F.explode(walk_ids).alias("walk"),
@@ -1964,12 +2040,30 @@ def node2vec_walks(
     out = out.unionByName(
         cur.select("start", "walk", "node").withColumn("step", F.lit(1)))
     for t in range(1, walk_len):
-        cur = (
-            cur.join(trans2.filter(F.col("t") == t),
-                     ["prev", "node", "walk"])
-            .select("start", "walk", F.col("node").alias("prev"),
-                    F.col("nxt").alias("node"))
-        )
+        if trans_hub is None:
+            cur = (
+                cur.join(trans2.filter(F.col("t") == t),
+                         ["prev", "node", "walk"])
+                .select("start", "walk", F.col("node").alias("prev"),
+                        F.col("nxt").alias("node"))
+            )
+        else:
+            # biased hop where the node is in the 2-path domain, the
+            # unbiased hub rule otherwise; neither matching = sink, the
+            # walk stops (same as the inner join)
+            cur = (
+                cur.join(
+                    trans2.filter(F.col("t") == t)
+                    .select("prev", "node", "walk", "nxt"),
+                    ["prev", "node", "walk"], "left")
+                .join(
+                    trans_hub.filter(F.col("t") == t)
+                    .select("node", "walk", "nxt_h"),
+                    ["node", "walk"], "left")
+                .select("start", "walk", F.col("node").alias("prev"),
+                        F.coalesce("nxt", "nxt_h").alias("node"))
+                .filter(F.col("node").isNotNull())
+            )
         out = out.unionByName(
             cur.select("start", "walk", "node")
             .withColumn("step", F.lit(t + 1)))

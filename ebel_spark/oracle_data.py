@@ -258,6 +258,10 @@ def ensure_snp_tables(base: str = ORACLE_BASE) -> str:
 #: WALK_LEN so step 0 reuses the walk_hashes table verbatim
 N2V_P = 2.0
 N2V_Q = 0.5
+#: default hub guard (graph.node2vec_walks max_hub): nodes with
+#: d_in*d_out above this leave the biased 2-path domain and hop by the
+#: unbiased DeepWalk rule — shared so the SQL twin applies the same cut
+N2V_MAX_HUB = 4096
 _N2V_MARKER = "_N2V_READY"
 
 

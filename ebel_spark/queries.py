@@ -4496,8 +4496,11 @@ def _node2vec_oracle_sql(final: str = "") -> str:
     DeepWalk min-selection over walk_hashes (t=0); steps >= 1 are
     min-selections over the driver-computed biased keys (n2v_hashes),
     keyed by (prev, u, w) so the walk state advances with its previous
-    node."""
-    from .oracle_data import WALK_LEN, WALKS_PER_NODE
+    node.  Mirrors the max_hub guard (r4 VERDICT #4): nodes with
+    d_in*d_out > N2V_MAX_HUB leave the biased domain and hop by the
+    unbiased walk_hashes rule at the same t (prev-independent), exactly
+    the Spark fallback."""
+    from .oracle_data import N2V_MAX_HUB, WALK_LEN, WALKS_PER_NODE
     walk_vals = ", ".join(f"({w})" for w in range(WALKS_PER_NODE))
     parts = [f"""
 WITH e AS MATERIALIZED (
@@ -4505,8 +4508,14 @@ WITH e AS MATERIALIZED (
   FROM read_parquet('{_OB}/statements/*.parquet')
   WHERE edge_key IS NOT NULL AND NOT nested
 ), n AS MATERIALIZED (SELECT u AS bel FROM e UNION SELECT v FROM e),
-wh AS MATERIALIZED (
-  SELECT * FROM read_parquet('{_OB}/walk_hashes/*.parquet') WHERE t = 0
+hub AS MATERIALIZED (
+  SELECT o.u FROM (SELECT u, count(*) AS d_out FROM e GROUP BY u) o
+  JOIN (SELECT v AS u, count(*) AS d_in FROM e GROUP BY v) i ON i.u = o.u
+  WHERE i.d_in * o.d_out > {N2V_MAX_HUB}
+), whall AS MATERIALIZED (
+  SELECT * FROM read_parquet('{_OB}/walk_hashes/*.parquet')
+), wh AS MATERIALIZED (
+  SELECT * FROM whall WHERE t = 0
 ), nh AS MATERIALIZED (
   SELECT * FROM read_parquet('{_OB}/n2v_hashes/*.parquet')
 ), s0 AS MATERIALIZED (
@@ -4527,11 +4536,21 @@ tr{t} AS MATERIALIZED (
     SELECT prev, u, w, v,
            row_number() OVER (PARTITION BY prev, u, w
                               ORDER BY key, v) AS rn
-    FROM nh WHERE t = {t}) WHERE rn = 1
+    FROM nh WHERE t = {t}
+      AND u NOT IN (SELECT u FROM hub)) WHERE rn = 1
+), trh{t} AS MATERIALIZED (
+  SELECT u, w, v FROM (
+    SELECT u, w, v,
+           row_number() OVER (PARTITION BY u, w ORDER BY h, v) AS rn
+    FROM whall WHERE t = {t}
+      AND u IN (SELECT u FROM hub)) WHERE rn = 1
 ), s{t + 1} AS MATERIALIZED (
-  SELECT s.start, s.walk, tr.v AS node, s.node AS prev
-  FROM s{t} s JOIN tr{t} tr
-    ON tr.prev = s.prev AND tr.u = s.node AND tr.w = s.walk)""")
+  SELECT s.start, s.walk, coalesce(tr.v, th.v) AS node, s.node AS prev
+  FROM s{t} s
+  LEFT JOIN tr{t} tr
+    ON tr.prev = s.prev AND tr.u = s.node AND tr.w = s.walk
+  LEFT JOIN trh{t} th ON th.u = s.node AND th.w = s.walk
+  WHERE coalesce(tr.v, th.v) IS NOT NULL)""")
     selects = ["SELECT start, walk, CAST(0 AS INTEGER) AS step, node "
                "FROM s0"]
     selects += [
@@ -4559,8 +4578,8 @@ def bel_node2vec_walks(spark, sf_dir):
     over the driver-computed biased keys."""
     from . import graph as G
     from . import parse as P
-    from .oracle_data import (N2V_P, N2V_Q, WALK_LEN, WALKS_PER_NODE,
-                              ensure_node2vec_tables)
+    from .oracle_data import (N2V_MAX_HUB, N2V_P, N2V_Q, WALK_LEN,
+                              WALKS_PER_NODE, ensure_node2vec_tables)
     ensure_node2vec_tables()
     st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
     e = (
@@ -4570,7 +4589,8 @@ def bel_node2vec_walks(spark, sf_dir):
         .distinct()
     )
     return G.node2vec_walks(e, walks_per_node=WALKS_PER_NODE,
-                            walk_len=WALK_LEN, p=N2V_P, q=N2V_Q)
+                            walk_len=WALK_LEN, p=N2V_P, q=N2V_Q,
+                            max_hub=N2V_MAX_HUB)
 
 
 @q("bel_node2vec_pairs", _node2vec_oracle_sql(final="""
@@ -4588,8 +4608,8 @@ def bel_node2vec_pairs(spark, sf_dir):
     walks."""
     from . import graph as G
     from . import parse as P
-    from .oracle_data import (N2V_P, N2V_Q, WALK_LEN, WALKS_PER_NODE,
-                              ensure_node2vec_tables)
+    from .oracle_data import (N2V_MAX_HUB, N2V_P, N2V_Q, WALK_LEN,
+                              WALKS_PER_NODE, ensure_node2vec_tables)
     ensure_node2vec_tables()
     st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
     e = (
@@ -4599,7 +4619,8 @@ def bel_node2vec_pairs(spark, sf_dir):
         .distinct()
     )
     w = G.node2vec_walks(e, walks_per_node=WALKS_PER_NODE,
-                         walk_len=WALK_LEN, p=N2V_P, q=N2V_Q)
+                         walk_len=WALK_LEN, p=N2V_P, q=N2V_Q,
+                         max_hub=N2V_MAX_HUB)
     return G.skipgram_pairs(w, window=2)
 
 

@@ -511,6 +511,69 @@ class TestKTruss:
                for r in G.ktruss_peel(e, k=3, rounds=2).collect()}
         assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1}
 
+    def test_fixpoint_equals_true_truss(self, spark):
+        # r4 VERDICT #5: rounds=None peels to the exact fixpoint.  K4 on
+        # {a,b,c,d} + triangle {c,d,e} + triangle {d,e,f}: edge (d,e)
+        # starts at support 2 (>= k-2 for k=4) but its triangles dissolve
+        # when (c,e)/(d,f)/(e,f) peel in round 1 — a 2-round cascade a
+        # too-small fixed unrolling would miss.  True 4-truss = K4.
+        nodes = ["a", "b", "c", "d"]
+        k4 = [(x, y) for x in nodes for y in nodes if x < y]
+        e = _edges(spark, k4 + [("c", "e"), ("d", "e"),
+                                ("d", "f"), ("e", "f")])
+        rows = G.ktruss_peel(e, k=4, rounds=None).collect()
+        got = {(r["a"], r["b"]): r["support"] for r in rows}
+        assert got == {(x, y): 2 for x, y in k4}
+        assert all(r["converged"] for r in rows)
+        # a 1-round unrolling of the SAME graph keeps the not-yet-
+        # dissolved (c,d)-adjacent debris: the fixpoint result differs
+        fixed1 = G.ktruss_peel(e, k=4, rounds=1)
+        assert fixed1.count() > len(k4)
+
+    def test_fixpoint_max_rounds_reports_unconverged(self, spark):
+        e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"),
+                           ("b", "d"), ("c", "d")])
+        rows = G.ktruss_peel(e, k=4, rounds=None, max_rounds=1).collect()
+        # round 1 drops the support-1 edges but (b,c) still pending ->
+        # not converged at the bound
+        assert rows and not rows[0]["converged"]
+
+
+class TestNode2vecHubGuard:
+    def test_hub_falls_back_to_unbiased_rule(self, spark):
+        # r4 VERDICT #4: star hub h (8 in x 8 out = 64 2-paths) over
+        # max_hub=32 -> h leaves the biased domain; its successor must
+        # be the PREV-INDEPENDENT DeepWalk argmin, identical for every
+        # walk arriving from any x_i
+        from ebel_spark.oracle_xxh import spark_xxhash64_str
+        xs = [f"x{i}" for i in range(8)]
+        ys = [f"y{j}" for j in range(8)]
+        e = _edges(spark, [(x, "h") for x in xs] + [("h", y) for y in ys])
+        out = G.node2vec_walks(e, walks_per_node=1, walk_len=2,
+                               max_hub=32)
+        rows = {(r["start"], r["walk"], r["step"]): r["node"]
+                for r in out.collect()}
+        # the unbiased rule: min (xxhash64("h|0|1|y"), y) over out-nbrs
+        want = min(ys, key=lambda y: (spark_xxhash64_str(f"h|0|1|{y}"), y))
+        for x in xs:
+            assert rows[(x, 0, 1)] == "h"
+            assert rows[(x, 0, 2)] == want
+        # cap NOT exercised (64 <= 64): biased path still runs end-to-end
+        out2 = G.node2vec_walks(e, walks_per_node=1, walk_len=2,
+                                max_hub=64)
+        assert out2.filter("step = 2").count() == len(xs)
+
+    def test_max_hub_none_keeps_exact_node2vec(self, spark):
+        # uncapped == pre-r5 behavior: same row count on a graph with no
+        # hub (cap irrelevant), and runs with the inner-join plan
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"),
+                           ("b", "a")])
+        capped = sorted(map(tuple, G.node2vec_walks(e, max_hub=4096)
+                            .collect()))
+        uncapped = sorted(map(tuple, G.node2vec_walks(e, max_hub=None)
+                              .collect()))
+        assert capped == uncapped
+
 
 class TestAdamicAdar:
     def test_hand_computed_square(self, spark):

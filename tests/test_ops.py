@@ -1454,6 +1454,32 @@ class TestHornRulesAndRrf:
                                           min_conf=0.0).collect()}
         assert got[("oth", "inc", "inc")] == (1, 2, 0.5, 1, 1.0)
 
+    def test_mine_horn_rules_pca_orders_rules_differently(self, spark):
+        # r4 VERDICT #8: a fixture where CWA and PCA confidence RANK two
+        # rules in opposite order, so the PCA denominator (body
+        # groundings whose subject has SOME r3 edge) can't silently
+        # drift into the CWA one.  Shared body a∘b with 4 groundings
+        # (x1,z1)..(x4,z4); head h1 covers 2 of them and x3 has an
+        # unrelated h1 edge -> pca_body 3; head h2 covers 1 and only x1
+        # has any h2 edge -> pca_body 1.
+        #   CWA: conf(h1)=2/4 > conf(h2)=1/4
+        #   PCA: conf_pca(h1)=2/3 < conf_pca(h2)=1/1     (order flips)
+        from ebel_spark import graph as G
+        facts = []
+        for i in range(1, 5):
+            facts += [(f"x{i}", "a", f"y{i}"), (f"y{i}", "b", f"z{i}")]
+        facts += [("x1", "h1", "z1"), ("x2", "h1", "z2"),
+                  ("x3", "h1", "w"), ("x1", "h2", "z1")]
+        df = spark.createDataFrame(facts, ["u", "r", "v"])
+        got = {(r.r1, r.r2, r.r3):
+               (r.support, r.body_size, r.conf, r.pca_body, r.conf_pca)
+               for r in G.mine_horn_rules(df, min_support=1,
+                                          min_conf=0.0).collect()}
+        assert got[("a", "b", "h1")] == (2, 4, 0.5, 3, round(2 / 3, 6))
+        assert got[("a", "b", "h2")] == (1, 4, 0.25, 1, 1.0)
+        c1, c2 = got[("a", "b", "h1")], got[("a", "b", "h2")]
+        assert c1[2] > c2[2] and c1[4] < c2[4]
+
     def test_mine_horn_rules_mid_degree_cap(self, spark):
         from ebel_spark import graph as G
         # hub y with 3x3 fanout plus one closing head fact x0->z0; a cap
