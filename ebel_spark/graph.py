@@ -1125,6 +1125,53 @@ def bfs_depths(
     return visited
 
 
+def sssp_relax(
+    edges: DataFrame,
+    source: DataFrame,
+    cost: str = "cost",
+    rounds: int = 6,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Weighted single(or multi)-source shortest paths by synchronous
+    Bellman-Ford relaxation: dist_{k+1}(v) = min(dist_k(v),
+    min_{u->v}(dist_k(u) + cost(u, v))), dist_0 = 0 on the source set.
+    The weighted upgrade of bfs_depths — with per-relation costs a
+    2-hop causal chain can beat a 1-hop associative edge, the
+    "strongest mechanistic path" query BFS cannot express.  Costs must
+    be non-negative integers, so every min() is exact and
+    partitioning-independent (the same discipline as the IVF scaled-long
+    sums) and the unrolled DuckDB twin computes bit-identical answers.
+
+    Scale shape: per round ONE equi-join of the |V|-bounded dist frame
+    against the edge list on the source key (edges stay sharded; dist
+    is the small side) and one map-side-combinable min-groupBy; lineage
+    cut per round, rounds bounds the shuffle count.  `source` is a
+    DataFrame with a `bel` column (no driver-side graph data).
+
+    Returns (bel, dist) for every node reached within `rounds` hops.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(cost).cast("long").alias("cost"))
+         .distinct())
+    dist = (source.select("bel", F.lit(0).cast("long").alias("dist"))
+            .transform(cut_lineage))
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist.select(F.col("bel").alias("u"),
+                               F.col("dist").alias("du")), "u")
+            .select(F.col("v").alias("bel"),
+                    (F.col("du") + F.col("cost")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("bel")
+            .agg(F.min("dist").alias("dist"))
+            .transform(cut_lineage)
+        )
+    return dist
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int = 2,

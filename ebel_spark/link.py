@@ -231,6 +231,91 @@ def link_all(nodes: DataFrame, hgnc: DataFrame, uniprot: DataFrame,
     return out
 
 
+def link_reactome(nodes: DataFrame, reactome: DataFrame) -> DataFrame:
+    """Reactome pathway-membership enrichment for pure, uniprot-linked
+    protein nodes — the Spark-first re-expression of the reference's
+    per-accession OrientDB UPDATE loop (biodbs/reactome.py:77-99: one
+    `session.query(distinct(name))` + one `Update protein set
+    reactome_pathways = ...` network round-trip PER protein).  Here the
+    whole enrichment is ONE broadcast join of the node table against the
+    pathway dim on the accession key plus a distinct: the dim is
+    bounded (UniProt2Reactome is ~1M rows — executor-memory sized at any
+    corpus scale), the node side stays sharded, and hot pathways skew
+    only the map side of the distinct's partial aggregation.
+
+    Returns one row per (bel, uniprot, pathway) membership:
+    (bel, uniprot, pathway_id, pathway_name, evidence_type).  The
+    array-valued node property the reference stores is
+    `reactome_node_property` below.
+    """
+    prot = (
+        nodes.filter((F.col("node_class") == "protein")
+                     & F.col("pure") & F.col("uniprot").isNotNull())
+        .select("bel", "uniprot")
+        .distinct()
+    )
+    dim = reactome.select(
+        F.col("uniprot_accession").alias("uniprot"),
+        F.col("identifier").alias("pathway_id"),
+        F.col("name").alias("pathway_name"),
+        "evidence_type",
+    ).distinct()
+    return prot.join(F.broadcast(dim), "uniprot").select(
+        "bel", "uniprot", "pathway_id", "pathway_name", "evidence_type")
+
+
+def reactome_node_property(memberships: DataFrame) -> DataFrame:
+    """Collapse link_reactome rows to the reference's per-node property
+    (reactome.py:98: `reactome_pathways = json.dumps([names...])`) —
+    deterministically sorted instead of query-order: (bel, uniprot,
+    reactome_pathways array<string>)."""
+    return (
+        memberships.groupBy("bel", "uniprot")
+        .agg(F.sort_array(F.collect_set("pathway_name"))
+             .alias("reactome_pathways"))
+    )
+
+
+def link_intact(nodes: DataFrame, intact: DataFrame) -> DataFrame:
+    """IntAct PPI edge construction between pure, uniprot-linked protein
+    nodes — the Spark-first re-expression of the reference's
+    per-accession loop (biodbs/intact.py:156-230: one filtered SQL query
+    and one `create_edge("has_ppi_ia", ...)` round-trip per interaction
+    row).  Here: the interaction dim (~1M rows real-world — broadcast
+    sized) joins the node table TWICE on the accession key (subject and
+    object endpoint), keeping only interactions with both endpoints in
+    the KG, exactly the reference's `if from_rid and to_rid` condition.
+
+    Returns (subject_bel, object_bel, interaction_id, interaction_type,
+    detection_method, confidence_value, pmid) edge rows.
+    """
+    prot = (
+        nodes.filter((F.col("node_class") == "protein")
+                     & F.col("pure") & F.col("uniprot").isNotNull())
+        .select("bel", "uniprot")
+        .distinct()
+    )
+    ia = intact.select(
+        "int_a_uniprot_id", "int_b_uniprot_id", "interaction_id",
+        "interaction_type", "detection_method", "confidence_value",
+        "pmid").distinct()
+    a = prot.select(F.col("bel").alias("subject_bel"),
+                    F.col("uniprot").alias("int_a_uniprot_id"))
+    b = prot.select(F.col("bel").alias("object_bel"),
+                    F.col("uniprot").alias("int_b_uniprot_id"))
+    # node sides stay sharded; the bounded dim is the broadcast operand
+    # on the first hop, and the second hop is a plain shuffle equi-join
+    # on the accession key (both sides edge/node sized)
+    return (
+        a.join(F.broadcast(ia), "int_a_uniprot_id")
+        .join(b, "int_b_uniprot_id")
+        .select("subject_bel", "object_bel", "interaction_id",
+                "interaction_type", "detection_method",
+                "confidence_value", F.col("pmid").cast("long").alias("pmid"))
+        .distinct()
+    )
+
+
 def snp_gene_map(
     snps: DataFrame,
     ensembl: DataFrame,

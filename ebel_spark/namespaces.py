@@ -167,6 +167,83 @@ def build_dimensions(
                       chebi, missing)
 
 
+#: synthetic Reactome shape: pathway count and per-accession membership
+#: fanout (1..3) — seedless arithmetic so the dim is identical however
+#: it is rebuilt (driver-side pandas for the oracle, Spark for the query)
+REACTOME_PATHWAYS = 120
+
+_TAXID_ORGANISM = {9606: "Homo sapiens", 10090: "Mus musculus",
+                   10116: "Rattus norvegicus"}
+
+
+def build_reactome(uniprot: "pd.DataFrame",
+                   n_pathways: int = REACTOME_PATHWAYS) -> "pd.DataFrame":
+    """Synthetic Reactome pathway-membership dim, the offline stand-in for
+    the reference's UniProt2Reactome TSV (biodbs/reactome.py:49-74:
+    columns uniprot_accession / identifier / name / evidence_type /
+    organism).  Accession i belongs to 1 + (i % 3) pathways at indices
+    (i*7 + j*j*13) % n_pathways — deterministic, overlapping, and skewed
+    enough that popular pathways exist (the groupBy skew the enrichment
+    join must survive).  Evidence alternates TAS/IEA like the real file."""
+    rows = []
+    for i, rec in enumerate(uniprot.itertuples(index=False)):
+        seen = set()
+        for j in range(1 + i % 3):
+            k = (i * 7 + j * j * 13) % n_pathways
+            if k in seen:
+                continue
+            seen.add(k)
+            rows.append({
+                "uniprot_accession": rec.accession,
+                "identifier": f"R-HSA-{100000 + k}",
+                "name": f"pathway {k:04d}",
+                "evidence_type": "TAS" if (i + k) % 2 == 0 else "IEA",
+                "organism": _TAXID_ORGANISM.get(int(rec.taxid), "other"),
+            })
+    return pd.DataFrame(rows, columns=[
+        "uniprot_accession", "identifier", "name", "evidence_type",
+        "organism"])
+
+
+#: synthetic IntAct shape: each accession interacts with 2 deterministic
+#: partners; miscore in [0, 0.99] from seedless arithmetic
+INTACT_PARTNERS = ((13, 5), (29, 11))
+
+
+def build_intact(uniprot: "pd.DataFrame") -> "pd.DataFrame":
+    """Synthetic IntAct interaction table, the offline stand-in for the
+    reference's intact-micluster TSV (biodbs/intact.py:49-94: columns
+    int_a/int_b uniprot ids, interaction id/type, detection method,
+    intact-miscore confidence, pmid).  Accession i pairs with accessions
+    (i*m + c) % N for (m, c) in INTACT_PARTNERS (self-pairs skipped) —
+    deterministic and rebuildable identically on either engine side."""
+    accs = list(uniprot["accession"])
+    n = len(accs)
+    rows = []
+    for i, a in enumerate(accs):
+        for m, c in INTACT_PARTNERS:
+            j = (i * m + c) % n
+            if j == i:
+                continue
+            rows.append({
+                "int_a_uniprot_id": a,
+                "int_b_uniprot_id": accs[j],
+                "interaction_id": f"EBI-{1000000 + i * 10 + m}",
+                "interaction_type": ("physical association"
+                                     if (i + j) % 2 == 0 else
+                                     "direct interaction"),
+                "detection_method": ("two hybrid" if (i + m) % 2 == 0
+                                     else "pull down"),
+                "confidence_value": round(((i * 37 + j * 101) % 100)
+                                          / 100.0, 2),
+                "pmid": 20000000 + (i * 31 + j) % 500000,
+            })
+    return pd.DataFrame(rows, columns=[
+        "int_a_uniprot_id", "int_b_uniprot_id", "interaction_id",
+        "interaction_type", "detection_method", "confidence_value",
+        "pmid"])
+
+
 def dims_to_spark(spark, dims: Dimensions):
     """Create the broadcast-side Spark DataFrames."""
     from .schemas import (

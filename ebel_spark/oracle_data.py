@@ -184,6 +184,67 @@ def ensure_walk_tables(base: str = ORACLE_BASE) -> str:
 
 
 # ---------------------------------------------------------------------------
+# entity-linking / pathway-enrichment oracle dims
+# ---------------------------------------------------------------------------
+
+_LINK_MARKER = "_LINK_READY"
+
+
+def ensure_link_tables(base: str = ORACLE_BASE) -> str:
+    """Dim projections for the linking/enrichment SQL twins, with the two
+    DETERMINISM RULES the Spark chain applies baked in driver-side (so
+    the SQL re-runs only the corpus-dependent relational steps):
+
+    - hgnc_sym (symbol): direct-match membership
+    - hgnc_prev (prev, symbol): prev-symbol correction map, deduped by
+      min (symbol, label, location) per prev — link.link_hgnc's
+      row_number rule
+    - uniprot_first (taxid, symbol, accession): min accession per
+      (taxid, symbol) — link.link_uniprot's deterministic "first"
+    - reactome: the synthetic UniProt2Reactome membership file
+      (namespaces.build_reactome)
+    """
+    ensure_oracle_tables(base)
+    if os.path.exists(os.path.join(base, _LINK_MARKER)):
+        return base
+
+    from .namespaces import build_dimensions, build_intact, build_reactome
+
+    dims = build_dimensions()
+
+    prev_rows = []
+    for rec in dims.hgnc.itertuples(index=False):
+        for pv in rec.prev_symbols:
+            prev_rows.append({"prev": pv, "symbol": rec.symbol,
+                              "label": rec.label,
+                              "location": rec.location})
+    prev = (pd.DataFrame(prev_rows,
+                         columns=["prev", "symbol", "label", "location"])
+            .sort_values(["prev", "symbol", "label", "location"])
+            .groupby("prev", as_index=False).first()[["prev", "symbol"]])
+
+    up = (dims.uniprot.sort_values("accession")
+          .groupby(["taxid", "gene_symbol"], as_index=False).first()
+          .rename(columns={"gene_symbol": "symbol"})
+          [["taxid", "symbol", "accession"]])
+
+    tables = {
+        "hgnc_sym": dims.hgnc[["symbol"]],
+        "hgnc_prev": prev,
+        "uniprot_first": up,
+        "reactome": build_reactome(dims.uniprot),
+        "intact": build_intact(dims.uniprot),
+    }
+    for name, pdf in tables.items():
+        d = os.path.join(base, name)
+        os.makedirs(d, exist_ok=True)
+        pdf.to_parquet(os.path.join(d, "part-0.parquet"), index=False)
+    with open(os.path.join(base, _LINK_MARKER), "w") as fd:
+        fd.write("ok")
+    return base
+
+
+# ---------------------------------------------------------------------------
 # synthetic genomic dimension for the SNP -> gene range-join family
 # ---------------------------------------------------------------------------
 

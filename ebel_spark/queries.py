@@ -3448,7 +3448,8 @@ def bel_edge_support(spark, sf_dir):
     return G.edge_support(e)
 
 
-def _ktruss_oracle_sql(k: int = 3, rounds: int = 3) -> str:
+def _ktruss_oracle_sql(k: int = 3, rounds: int = 3,
+                       converged_col: bool = False) -> str:
     """Chained-CTE DuckDB twin of graph.ktruss_peel: per round, enumerate
     triangles once via the a<b<c three-way join, aggregate per-edge
     support, and keep edges with support >= k-2; a final support pass
@@ -3486,8 +3487,9 @@ und{r + 1} AS MATERIALIZED (
   JOIN sup{tag} s ON s.a = u.a AND s.b = u.b
   WHERE s.support >= {k - 2}
 )""")
+    conv = ", TRUE AS converged" if converged_col else ""
     parts.append(f"""
-SELECT u.a, u.b, CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+SELECT u.a, u.b, CAST(COALESCE(s.support, 0) AS BIGINT) AS support{conv}
 FROM und{rounds} u
 LEFT JOIN supf s ON s.a = u.a AND s.b = u.b""")
     return "".join(parts)
@@ -3512,6 +3514,142 @@ def bel_ktruss(spark, sf_dir):
         .distinct()
     )
     return G.ktruss_peel(e, k=3, rounds=2)
+
+
+@q("bel_ktruss_fixpoint", _ktruss_oracle_sql(k=4, rounds=6,
+                                             converged_col=True))
+def bel_ktruss_fixpoint(spark, sf_dir):
+    """EXACT 4-truss via fixpoint peeling (graph.ktruss_peel rounds=None,
+    r4 VERDICT #5): rounds run until the surviving edge count stops
+    changing (max_rounds bound), and the result carries the `converged`
+    flag a fixed unrolling cannot give.  The oracle unrolls SIX rounds —
+    strictly more than the corpus needs — so value equality checks that
+    the detected fixpoint IS the deep unrolling's answer, and the
+    constant-true converged column checks the detector terminated by
+    stability, not by the bound."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+        .distinct()
+    )
+    return G.ktruss_peel(e, k=4, rounds=None, max_rounds=8)
+
+
+_BIO_SQL = ("'abundance','bio_object','complex','gene','genetic_flow',"
+            "'micro_rna','population','protein','rna'")
+
+#: shared CTE chain resolving every pure protein node to its uniprot
+#: accession with the Spark linking chain's exact semantics (direct HGNC
+#: symbol, else prev-symbol correction with used-name exclusion + bel
+#: patch, then first-accession per (taxid, symbol) / UNIPROT passthrough)
+#: — ends with acc(bel, uniprot); prefix for the enrichment twins
+_LINKED_ACC_SQL = f"""
+WITH used AS MATERIALIZED (
+  SELECT DISTINCT name FROM read_parquet('{_OB}/nodes_raw/*.parquet')
+  WHERE node_class IN ({_BIO_SQL}) AND namespace = 'HGNC'
+    AND name IS NOT NULL
+), prevmap AS MATERIALIZED (
+  SELECT prev, symbol FROM read_parquet('{_OB}/hgnc_prev/*.parquet')
+  WHERE symbol NOT IN (SELECT name FROM used)
+), prot0 AS MATERIALIZED (
+  SELECT DISTINCT bel, namespace, name
+  FROM read_parquet('{_OB}/nodes_raw/*.parquet')
+  WHERE node_class = 'protein' AND name IS NOT NULL
+), hres AS MATERIALIZED (
+  SELECT CASE WHEN p.namespace = 'HGNC' AND s.symbol IS NULL
+                   AND pm.symbol IS NOT NULL
+              THEN replace(p.bel, ':"' || p.name || '"',
+                           ':"' || pm.symbol || '"')
+              ELSE p.bel END AS bel,
+         CASE WHEN p.namespace = 'HGNC' AND s.symbol IS NULL
+                   AND pm.symbol IS NOT NULL
+              THEN pm.symbol ELSE p.name END AS name,
+         p.namespace
+  FROM prot0 p
+  LEFT JOIN read_parquet('{_OB}/hgnc_sym/*.parquet') s
+    ON p.namespace = 'HGNC' AND p.name = s.symbol
+  LEFT JOIN prevmap pm
+    ON p.namespace = 'HGNC' AND s.symbol IS NULL AND p.name = pm.prev
+), up AS MATERIALIZED (
+  SELECT * FROM read_parquet('{_OB}/uniprot_first/*.parquet')
+), acc AS MATERIALIZED (
+  SELECT h.bel, coalesce(u.accession, ua.accession) AS uniprot
+  FROM hres h
+  LEFT JOIN up u ON u.symbol = h.name
+   AND ((h.namespace = 'HGNC' AND u.taxid = 9606)
+     OR (h.namespace = 'MGI' AND u.taxid = 10090)
+     OR (h.namespace = 'RGD' AND u.taxid = 10116))
+  LEFT JOIN (SELECT DISTINCT accession FROM up) ua
+    ON h.namespace = 'UNIPROT' AND h.name = ua.accession
+)"""
+
+
+@q("bel_reactome_pathways", _LINKED_ACC_SQL + f"""
+SELECT DISTINCT a.bel, a.uniprot, r.identifier AS pathway_id,
+       r.name AS pathway_name, r.evidence_type
+FROM acc a
+JOIN read_parquet('{_OB}/reactome/*.parquet') r
+  ON r.uniprot_accession = a.uniprot
+WHERE a.uniprot IS NOT NULL
+""")
+def bel_reactome_pathways(spark, sf_dir):
+    """Reactome pathway-membership enrichment of the constructed KG's
+    pure protein nodes (link.link_reactome; the reference's per-protein
+    OrientDB UPDATE loop, biodbs/reactome.py:77-99) — runs the REAL
+    linking chain (HGNC prev-symbol correction + deterministic
+    first-accession UniProt resolution) and then ONE broadcast join
+    against the synthetic UniProt2Reactome dim; the oracle re-runs the
+    same relational steps in SQL over dim projections that bake in the
+    two driver-side determinism rules (min-by-symbol prev map,
+    min-accession per (taxid, symbol))."""
+    from . import graph as G
+    from . import link as L
+    from . import parse as P
+    from .namespaces import build_dimensions, dims_to_spark
+    from .oracle_data import ensure_link_tables
+    base = ensure_link_tables()
+    parsed = _bel_oracle_parsed(spark)
+    nodes = G.materialize_nodes(P.nodes_table(parsed.filter("ok")))
+    dims = dims_to_spark(spark, build_dimensions())
+    linked = L.link_uniprot(L.link_hgnc(nodes, dims["hgnc"]),
+                            dims["uniprot"])
+    reactome = spark.read.parquet(f"{base}/reactome")
+    return L.link_reactome(linked, reactome)
+
+
+@q("bel_intact_edges", _LINKED_ACC_SQL + f"""
+SELECT DISTINCT pa.bel AS subject_bel, pb.bel AS object_bel,
+       i.interaction_id, i.interaction_type, i.detection_method,
+       i.confidence_value, CAST(i.pmid AS BIGINT) AS pmid
+FROM read_parquet('{_OB}/intact/*.parquet') i
+JOIN acc pa ON pa.uniprot = i.int_a_uniprot_id
+JOIN acc pb ON pb.uniprot = i.int_b_uniprot_id
+""")
+def bel_intact_edges(spark, sf_dir):
+    """IntAct protein-protein-interaction edge construction
+    (link.link_intact; the reference's per-accession SQL loop in
+    biodbs/intact.py:156-230 creating one `has_ppi_ia` OrientDB edge at
+    a time): interactions whose BOTH endpoints resolve to pure protein
+    nodes of the KG become edges carrying the interaction metadata —
+    here a single double equi-join of the interaction dim against the
+    linked node table, no per-row loop, no network round-trips."""
+    from . import graph as G
+    from . import link as L
+    from . import parse as P
+    from .namespaces import build_dimensions, dims_to_spark
+    from .oracle_data import ensure_link_tables
+    base = ensure_link_tables()
+    parsed = _bel_oracle_parsed(spark)
+    nodes = G.materialize_nodes(P.nodes_table(parsed.filter("ok")))
+    dims = dims_to_spark(spark, build_dimensions())
+    linked = L.link_uniprot(L.link_hgnc(nodes, dims["hgnc"]),
+                            dims["uniprot"])
+    intact = spark.read.parquet(f"{base}/intact")
+    return L.link_intact(linked, intact)
 
 
 @q("bel_pair_pmi", f"""
@@ -3599,6 +3737,69 @@ def bel_bfs_depths(spark, sf_dir):
     hub = deg.orderBy(F.desc("d"), "bel").limit(1).select("bel")
     return G.bfs_depths(e, hub, max_depth=6).select(
         "bel", F.col("dist").cast("int").alias("dist"))
+
+
+def _sssp_oracle_sql(rounds: int = 6) -> str:
+    """Chained-CTE DuckDB twin of graph.sssp_relax: one min-groupBy CTE
+    per relaxation round over the integer-cost edge list (causal = 1,
+    everything else = 3), source = the top-degree hub (degree DESC, bel
+    — the bel_bfs_depths rule)."""
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v,
+         CASE WHEN relation_category = 'causal' THEN 1 ELSE 3 END AS cost
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+), deg AS MATERIALIZED (
+  SELECT bel, count(*) AS d FROM (
+    SELECT u AS bel FROM (SELECT DISTINCT u, v FROM e)
+    UNION ALL SELECT v FROM (SELECT DISTINCT u, v FROM e)) GROUP BY bel
+), d0 AS MATERIALIZED (
+  SELECT bel, 0 AS dist FROM (
+    SELECT bel FROM deg ORDER BY d DESC, bel LIMIT 1))"""
+    parts = [head]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f""",
+d{k} AS MATERIALIZED (
+  SELECT bel, min(dist) AS dist FROM (
+    SELECT bel, dist FROM d{p}
+    UNION ALL
+    SELECT e.v AS bel, d.dist + e.cost AS dist
+    FROM e JOIN d{p} d ON e.u = d.bel
+  ) GROUP BY bel)""")
+    parts.append(f"""
+SELECT bel, CAST(dist AS BIGINT) AS dist FROM d{rounds}""")
+    return "".join(parts)
+
+
+@q("bel_sssp_causal", _sssp_oracle_sql(rounds=6))
+def bel_sssp_causal(spark, sf_dir):
+    """Weighted shortest mechanistic path from the top-degree hub
+    (graph.sssp_relax): causal relations cost 1, associative/other cost
+    3, so a 2-hop causal chain beats a 1-hop associative edge — the
+    evidence-weighted proximity query plain BFS cannot express.  Six
+    synchronous Bellman-Ford rounds, exact integer min throughout; the
+    oracle unrolls the identical rounds into chained min-groupBy CTEs."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    base = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"),
+                F.when(F.col("relation_category") == "causal", F.lit(1))
+                .otherwise(F.lit(3)).alias("cost"))
+    )
+    e2 = base.select("u", "v").distinct()
+    deg = (
+        e2.select(F.col("u").alias("bel"))
+        .unionAll(e2.select(F.col("v").alias("bel")))
+        .groupBy("bel")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    hub = deg.orderBy(F.desc("d"), "bel").limit(1).select("bel")
+    return G.sssp_relax(base, hub, rounds=6)
 
 
 def _walks_oracle_sql(final: str = "") -> str:
@@ -4981,12 +5182,15 @@ def ann_hybrid_rrf(spark, sf_dir):
 
 _FRONT = [
     # 18 round-3 additions never checked by any driver round (VERDICT r3 #1)
-    "bel_hits", "bel_ktruss", "bel_adamic_adar", "bel_pair_pmi",
+    "bel_pair_pmi",
     "bel_edge_support", "bel_random_walks", "bel_walk_pairs",
     "ann_recall_lsh", "doc_gopher_rules", "doc_dsir_weights",
     "doc_dsir_resample", "doc_ccnet_buckets", "doc_line_dedup",
     "doc_boundary_overlap", "doc_stratified_sample", "doc_token_entropy",
-    "embedding_outliers", "paths_upto_3",
+    "embedding_outliers",
+    # round-5 new queries (r4-greens paths_upto_3 etc. rotated out)
+    "bel_ktruss_fixpoint", "bel_sssp_causal", "bel_reactome_pathways",
+    "bel_intact_edges",
     # round-4 new queries (registered below if present)
     "bel_snp_genes", "ann_ivfpq_residual_topk", "ann_lsh_multiprobe_topk",
     "ann_recall_multiprobe", "bel_horn_rules", "ann_hybrid_rrf",

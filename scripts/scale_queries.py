@@ -1,0 +1,353 @@
+"""Per-QUERY scale rehearsal (r4 VERDICT item 6): the pipeline has its
+1M/10M/20M sublinearity evidence (BENCH_SCALE_SF1.json); this gives the
+most expensive *queries* the same treatment and publishes per-query
+growth ratios plus a `superlinear_queries` list (expected empty).
+
+Two families, two protocols:
+
+1. Corpus queries (dedup / ANN / text) run at the driver's sf0.1 tables
+   and at a deterministically synthesized 10x replica set:
+   - documents: replica r tags every token with `_r{r}` (replica 0 is
+     verbatim), so cross-replica shingle/token overlap is ZERO by
+     construction and every pair-producing query's OUTPUT scales
+     linearly (10 x the intra-replica pairs).  Superlinear wall growth
+     is then attributable to the ENGINE, not to a data-property change
+     — the property a naive copy-paste replication (which manufactures
+     quadratic cross-replica near-dup pairs) cannot give.
+   - embeddings: replica r circular-shifts each vector by r positions
+     (norm-preserving, deterministic, distinct direction), vec_id
+     offset by r*N; the query set stays vec_id < 8, so probe cost
+     isolates corpus growth.
+
+2. Graph queries (pagerank / PPR / path / walks) run over the KG
+   materialized from the synthetic BEL corpus at two sizes (default
+   2k vs 20k files = ~200k vs ~2M statements), the same generator the
+   pipeline rehearsal uses.
+
+Each query is timed cold+warm in one session (min of 2 = warm);
+`ratio = warm_big / warm_small` is compared against the family's
+measured input growth; `superlinear` flags ratio > growth * SLACK.
+
+Writes BENCH_SCALE_QUERIES.json at the repo root.
+
+Usage: python scripts/scale_queries.py [--cpus 32] [--factor 10]
+       [--graph-small 2000] [--graph-big 20000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+#: wall-growth slack over the data ratio before a query counts as
+#: superlinear: covers constant-overhead amortization noise and the
+#: shared-host bandwidth jitter documented in BENCH.md
+SLACK = 1.35
+
+CORPUS_QUERIES = [
+    "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "doc_dup_spans",
+    "doc_line_dedup",
+    "doc_bm25_topk",
+    "doc_hash_quality",
+    "semantic_dup_pairs",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_lsh_multiprobe_topk",
+]
+
+#: contract queries whose SUPERLINEAR growth is by parameterization, not
+#: an engine defect: their blocking/cap factor is pinned so the DuckDB
+#: twin stays deterministic.  Each maps to the note explaining it; the
+#: corresponding *scale-path* variant below shows the linear behavior
+#: the op gives when corpus-size-parameterized.
+EXPECTED_SUPERLINEAR = {
+    "semantic_dup_pairs":
+        "contract query pins nlist=8 for the DuckDB twin, so within-list "
+        "candidate pairs grow ~N^2/nlist by design; the op's scale path "
+        "is nlist=None (auto_nlist) — see semantic_dup_pairs_auto",
+    "graph_path_2hop_uncapped":
+        "oracle variant disables max_paths/max_unique_edges so the SQL "
+        "twin enumerates identically; path COUNT itself is superlinear "
+        "in |E| — production defaults cap it, see graph_path_2hop",
+}
+
+
+def _semantic_dup_pairs_auto(spark, sf_dir):
+    """Scale-path twin of semantic_dup_pairs: nlist sized from the corpus
+    (auto_nlist) so per-list candidate work stays constant."""
+    from ebel_spark.ops import vectors as X
+    from ebel_spark.queries import _tw
+    e = _tw(spark, sf_dir, "embeddings")
+    return X.ivf_dup_pairs(e, threshold=0.45, dim=64, nlist=None, iters=2,
+                           decimals=4)
+
+
+SCALE_PATH_VARIANTS = {
+    "semantic_dup_pairs": ("semantic_dup_pairs_auto",
+                           _semantic_dup_pairs_auto),
+}
+
+
+def build_scaled_dir(spark, src_dir: str, out_dir: str, factor: int) -> dict:
+    """Deterministic factor-x replica tables; other tables symlinked."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    reps = F.explode(F.array(*[F.lit(r) for r in range(factor)])).alias("rep")
+
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    n_docs = docs.count()
+    # tag MUST survive the engine's [a-z0-9]+ tokenizer as part of the
+    # token ("wordxr3"), not split off it ("word", "r3"): a separator tag
+    # becomes its own interleaved token, degrades n-gram shingles to
+    # (n-1)-gram discrimination, and MANUFACTURES intra-replica near-dup
+    # pairs quadratically (measured: 44M candidate pairs / max bucket
+    # 2602 with "_r3" vs linear with "xr3")
+    tagged = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda t: F.concat(t, F.lit("xr"), F.col("rep").cast("string"))),
+        " ")
+    text = F.when(F.col("rep") == 0, F.col("text")).otherwise(tagged)
+    (docs.select("*", reps)
+     .select(
+         (F.col("doc_id") + F.col("rep") * F.lit(n_docs)).alias("doc_id"),
+         text.alias("text"), "lang", "source")
+     .withColumn("n_chars", F.length("text").cast("long"))
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet"))
+
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    n_vecs = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    shift = (F.col("rep") % F.lit(dim)).cast("int")
+    rolled = F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
+        F.concat(F.slice(F.col("embedding"), shift + 1, F.lit(dim) - shift),
+                 F.slice(F.col("embedding"), F.lit(1), shift)))
+    (emb.select("*", reps)
+     .select(
+         (F.col("vec_id") + F.col("rep") * F.lit(n_vecs)).alias("vec_id"),
+         rolled.alias("embedding"), "label")
+     .repartition(32)
+     .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet"))
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        dst = f"{out_dir}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{src_dir}/{t}.parquet", dst)
+    return {"documents": n_docs * factor, "embeddings": n_vecs * factor,
+            "documents_small": n_docs, "embeddings_small": n_vecs}
+
+
+def time_query(fn, spark, sf_dir: str) -> tuple[float, float]:
+    """(cold, warm) seconds — two in-session samples, noop sink."""
+    from ebel_spark.ops.dedup import release_pins
+
+    samples = []
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.time() - t0)
+    release_pins()
+    return round(samples[0], 3), round(min(samples), 3)
+
+
+def graph_suite(spark, fr):
+    """The expensive graph ops over a materialized KG; fr is the frame
+    dict from kg_frames.  Returns {name: thunk} timed uniformly —
+    parameters mirror the contract flagships (bel_pagerank,
+    bel_personalized_pagerank, bel_paths, bel_random_walks)."""
+    from ebel_spark import graph as G
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def paths(max_paths, max_unique_edges):
+        return G.path_query(
+            fr["edges"], fr["nodes"], min_len=1, max_len=2,
+            start={"node_class": "protein", "namespace": "HGNC"},
+            end={"node_class": "bio_object"},
+            relations=["directly_increases", "directly_decreases"],
+            max_paths=max_paths, max_unique_edges=max_unique_edges)
+
+    return {
+        "graph_pagerank": lambda: force(G.pagerank(fr["e"], iters=10)),
+        "graph_personalized_pagerank": lambda: force(
+            G.personalized_pagerank(fr["e"], fr["seeds"], iters=10)),
+        "graph_random_walks": lambda: force(G.random_walks(fr["e"])),
+        # production defaults: the edge-subgraph cap bounds the join DAG
+        "graph_path_2hop": lambda: force(paths(100_000, 1_000)),
+        # oracle parametrization (caps off) — expected superlinear, the
+        # path COUNT itself grows ~d^2 per hub
+        "graph_path_2hop_uncapped": lambda: force(paths(0, None)),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--graph-small", type=int, default=2000)
+    ap.add_argument("--graph-big", type=int, default=20000)
+    ap.add_argument("--scratch", default="/dev/shm")
+    ap.add_argument("--json-out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "BENCH_SCALE_QUERIES.json"))
+    args = ap.parse_args()
+
+    from bench import host_memcpy_gbps, wait_for_clear_window
+    from ebel_spark.queries import QUERIES
+    from ebel_spark.session import get_spark
+
+    start_probes = wait_for_clear_window()
+
+    scratch = tempfile.mkdtemp(prefix="qscale_", dir=args.scratch)
+    spark = get_spark(cores=args.cpus, app_name="query-scale", extra={
+        "spark.local.dir": os.path.join(scratch, "local"),
+    })
+    spark.range(1).count()
+
+    result: dict = {
+        "cpus": args.cpus,
+        "factor": args.factor,
+        "host_memcpy_probes_start": start_probes,
+        "queries": {},
+    }
+    superlinear: list[str] = []
+
+    try:
+        big_dir = os.path.join(scratch, "sfbig")
+        sizes = build_scaled_dir(spark, args.sf_dir, big_dir, args.factor)
+        result["corpus_rows"] = sizes
+
+        def measure(name, fn, growth):
+            cold_s, warm_s = time_query(fn, spark, args.sf_dir)
+            cold_b, warm_b = time_query(fn, spark, big_dir)
+            ratio = round(warm_b / warm_s, 3) if warm_s > 0 else None
+            expected = name in EXPECTED_SUPERLINEAR
+            flag = (ratio is not None and ratio > growth * SLACK
+                    and not expected)
+            entry = {
+                "warm_small_s": warm_s, "warm_big_s": warm_b,
+                "cold_small_s": cold_s, "cold_big_s": cold_b,
+                "data_growth": growth, "wall_ratio": ratio,
+                "superlinear": flag,
+            }
+            if expected:
+                entry["expected_superlinear"] = True
+                entry["note"] = EXPECTED_SUPERLINEAR[name]
+            result["queries"][name] = entry
+            if flag:
+                superlinear.append(name)
+            print(f"{name:28s} small={warm_s:7.3f}s big={warm_b:7.3f}s "
+                  f"ratio={ratio} (data x{growth}) "
+                  f"{'SUPERLINEAR' if flag else 'expected-superlinear' if expected else 'ok'}",
+                  flush=True)
+
+        for name in CORPUS_QUERIES:
+            fn, _ = QUERIES[name]
+            growth = (sizes["embeddings"] / sizes["embeddings_small"]
+                      if name.startswith(("ann_", "semantic_"))
+                      else args.factor)
+            measure(name, fn, growth)
+            if name in SCALE_PATH_VARIANTS:
+                vname, vfn = SCALE_PATH_VARIANTS[name]
+                measure(vname, vfn, growth)
+
+        # ---- graph family over two KG sizes --------------------------
+        from pyspark.sql import functions as F
+
+        from ebel_spark import graph as G
+        from ebel_spark import parse as P
+        from ebel_spark.corpus import CorpusProfile, corpus_spark
+
+        def kg_frames(files: int) -> dict:
+            prof = CorpusProfile(n_files=files, statements_per_file=100,
+                                 error_rate=0.005)
+            parsed = P.parse_sources(corpus_spark(spark, prof)).persist()
+            parsed.count()
+            ok = parsed.filter("ok")
+            st = P.statements_table(ok)
+            e = (st.filter("edge_key IS NOT NULL AND NOT nested")
+                 .select(F.col("subject_bel").alias("u"),
+                         F.col("object_bel").alias("v"))
+                 .distinct().persist())
+            seeds = (e.select(F.col("u").alias("bel"))
+                     .union(e.select(F.col("v").alias("bel")))
+                     .filter(F.col("bel").startswith("p(HGNC:")))
+            edges = G.materialize_edges(st).persist()
+            nodes = G.materialize_nodes(P.nodes_table(ok)).persist()
+            fr = {"parsed": parsed, "e": e, "seeds": seeds,
+                  "edges": edges, "nodes": nodes, "n_edges": e.count()}
+            edges.count()
+            nodes.count()
+            return fr
+
+        fr_small = kg_frames(args.graph_small)
+        fr_big = kg_frames(args.graph_big)
+        result["kg_edges"] = {"small": fr_small["n_edges"],
+                              "big": fr_big["n_edges"]}
+        ggrowth = round(fr_big["n_edges"] / fr_small["n_edges"], 2)
+
+        suite_s = graph_suite(spark, fr_small)
+        suite_b = graph_suite(spark, fr_big)
+        for name in suite_s:
+            ts = []
+            for _ in range(2):
+                t0 = time.time()
+                suite_s[name]()
+                ts.append(time.time() - t0)
+            tb = []
+            for _ in range(2):
+                t0 = time.time()
+                suite_b[name]()
+                tb.append(time.time() - t0)
+            warm_s, warm_b = round(min(ts), 3), round(min(tb), 3)
+            ratio = round(warm_b / warm_s, 3) if warm_s > 0 else None
+            expected = name in EXPECTED_SUPERLINEAR
+            flag = (ratio is not None and ratio > ggrowth * SLACK
+                    and not expected)
+            entry = {
+                "warm_small_s": warm_s, "warm_big_s": warm_b,
+                "cold_small_s": round(ts[0], 3), "cold_big_s": round(tb[0], 3),
+                "data_growth": ggrowth, "wall_ratio": ratio,
+                "superlinear": flag,
+            }
+            if expected:
+                entry["expected_superlinear"] = True
+                entry["note"] = EXPECTED_SUPERLINEAR[name]
+            result["queries"][name] = entry
+            if flag:
+                superlinear.append(name)
+            print(f"{name:28s} small={warm_s:7.3f}s big={warm_b:7.3f}s "
+                  f"ratio={ratio} (data x{ggrowth}) "
+                  f"{'SUPERLINEAR' if flag else 'expected-superlinear' if expected else 'ok'}",
+                  flush=True)
+        for fr in (fr_small, fr_big):
+            for key in ("parsed", "e", "edges", "nodes"):
+                fr[key].unpersist()
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    result["superlinear_queries"] = superlinear
+    result["host_memcpy_gbps_end"] = host_memcpy_gbps()
+    with open(args.json_out, "w") as fd:
+        json.dump(result, fd, indent=1)
+    print(json.dumps({"superlinear_queries": superlinear}))
+
+
+if __name__ == "__main__":
+    main()

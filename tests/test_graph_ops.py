@@ -539,6 +539,39 @@ class TestKTruss:
         assert rows and not rows[0]["converged"]
 
 
+class TestSsspRelax:
+    def test_cheap_2hop_beats_expensive_direct(self, spark):
+        # s -> t direct cost 3 (associative) vs s -> m -> t at 1+1
+        # (causal chain): Bellman-Ford must return 2, what BFS (hops)
+        # cannot see
+        e = spark.createDataFrame(
+            [("s", "t", 3), ("s", "m", 1), ("m", "t", 1), ("t", "z", 3)],
+            ["u", "v", "cost"])
+        src = spark.createDataFrame([("s",)], ["bel"])
+        got = {r["bel"]: r["dist"]
+               for r in G.sssp_relax(e, src, rounds=4).collect()}
+        assert got == {"s": 0, "m": 1, "t": 2, "z": 5}
+
+    def test_rounds_bound_limits_reach(self, spark):
+        # chain a->b->c->d at cost 1 each: rounds=2 reaches only depth 2
+        e = spark.createDataFrame(
+            [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)],
+            ["u", "v", "cost"])
+        src = spark.createDataFrame([("a",)], ["bel"])
+        got = {r["bel"]: r["dist"]
+               for r in G.sssp_relax(e, src, rounds=2).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+    def test_multi_source_min(self, spark):
+        # two sources: each node takes the nearer one
+        e = spark.createDataFrame(
+            [("s1", "x", 5), ("s2", "x", 1)], ["u", "v", "cost"])
+        src = spark.createDataFrame([("s1",), ("s2",)], ["bel"])
+        got = {r["bel"]: r["dist"]
+               for r in G.sssp_relax(e, src, rounds=2).collect()}
+        assert got == {"s1": 0, "s2": 0, "x": 1}
+
+
 class TestNode2vecHubGuard:
     def test_hub_falls_back_to_unbiased_rule(self, spark):
         # r4 VERDICT #4: star hub h (8 in x 8 out = 64 2-paths) over

@@ -403,6 +403,91 @@ class TestLinking:
         atp = rows[("abundance", "ATP")]
         assert atp.chebi is not None
 
+    def test_reactome_enrichment(self, spark):
+        # link_reactome: pure uniprot-linked proteins pick up pathway
+        # memberships from the deterministic synthetic dim; gene/
+        # abundance/unlinked nodes do not (reactome.py:77-99 semantics)
+        from ebel_spark.namespaces import build_reactome
+        dims = build_dimensions(n_hgnc=200, n_chebi=50, n_go=50)
+        dim_dfs = dims_to_spark(spark, dims)
+        reactome_pdf = build_reactome(dims.uniprot)
+        reactome = spark.createDataFrame(reactome_pdf)
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE HGNC AS URL "http://x/h.belns"\n'
+            'DEFINE NAMESPACE CHEBI AS URL "http://x/c.belns"\n'
+            'SET Citation = {"PubMed", "T", "1"}\n'
+            'p(HGNC:CD33) increases p(HGNC:TNF)\n'
+            'a(CHEBI:ATP) increases g(HGNC:CD33)\n'
+        )
+        src = _source_df(spark, [bel])
+        parsed = P.parse_sources(src)
+        nodes = G.materialize_nodes(P.nodes_table(parsed))
+        linked = L.link_all(nodes, dim_dfs["hgnc"], dim_dfs["uniprot"],
+                            dim_dfs["chebi"])
+        mem = L.link_reactome(linked, reactome).collect()
+        assert mem, "expected pathway memberships"
+        by_bel = {}
+        for r in mem:
+            by_bel.setdefault(r.bel, []).append(r)
+        # only the two protein nodes are enriched
+        assert set(by_bel) == {'p(HGNC:"CD33")', 'p(HGNC:"TNF")'}
+        # membership matches the dim's deterministic rule exactly
+        up = {r.bel: r.uniprot for rs in by_bel.values() for r in rs}
+        for bel_str, rows in by_bel.items():
+            want = sorted(
+                reactome_pdf[reactome_pdf.uniprot_accession
+                             == up[bel_str]]["identifier"])
+            assert sorted(r.pathway_id for r in rows) == want
+        # array-valued node property: sorted, one row per node
+        prop = {r.bel: r.reactome_pathways
+                for r in L.reactome_node_property(
+                    L.link_reactome(linked, reactome)).collect()}
+        assert set(prop) == set(by_bel)
+        for bel_str, names in prop.items():
+            assert names == sorted(set(names))
+
+    def test_intact_ppi_edges(self, spark):
+        # link_intact: only interactions with BOTH endpoints resolved to
+        # pure protein nodes become edges (intact.py:219 `if from_rid
+        # and to_rid`), metadata carried through
+        from ebel_spark.namespaces import build_intact
+        dims = build_dimensions(n_hgnc=200, n_chebi=50, n_go=50)
+        dim_dfs = dims_to_spark(spark, dims)
+        up = {r.gene_symbol: r.accession
+              for r in dim_dfs["uniprot"].collect() if r.taxid == 9606}
+        intact_pdf = build_intact(dims.uniprot)
+        intact = spark.createDataFrame(intact_pdf)
+        # CD33 -> TREM2 IS an interaction in the deterministic dim
+        # (EBI-1000013); CD33 -> TNF is not — the both-endpoints filter
+        # must keep exactly the former
+        bel = (
+            'SET DOCUMENT Name = "t"\n'
+            'DEFINE NAMESPACE HGNC AS URL "http://x/h.belns"\n'
+            'SET Citation = {"PubMed", "T", "1"}\n'
+            'p(HGNC:CD33) increases p(HGNC:TREM2)\n'
+            'p(HGNC:CD33) increases p(HGNC:TNF)\n'
+        )
+        src = _source_df(spark, [bel])
+        parsed = P.parse_sources(src)
+        nodes = G.materialize_nodes(P.nodes_table(parsed))
+        linked = L.link_all(nodes, dim_dfs["hgnc"], dim_dfs["uniprot"],
+                            dim_dfs["chebi"])
+        got = L.link_intact(linked, intact).collect()
+        in_kg = {up["CD33"], up["TREM2"], up["TNF"]}
+        want = intact_pdf[
+            intact_pdf.int_a_uniprot_id.isin(in_kg)
+            & intact_pdf.int_b_uniprot_id.isin(in_kg)]
+        assert len(want) > 0, "fixture must exercise a real interaction"
+        assert len(got) == len(want)
+        sym_of = {v: k for k, v in up.items()}
+        assert {(r.subject_bel, r.object_bel, r.interaction_id)
+                for r in got} \
+            == {(f'p(HGNC:"{sym_of[a]}")', f'p(HGNC:"{sym_of[b]}")', i)
+                for a, b, i in zip(want.int_a_uniprot_id,
+                                   want.int_b_uniprot_id,
+                                   want.interaction_id)}
+
     def test_location_struct_bandless_matches_reference(self, spark):
         # reference-faithful quirk (hgnc.py:241): band-less locations
         # parse to chromosome only — arm/region require a .band suffix
