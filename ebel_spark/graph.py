@@ -1850,6 +1850,100 @@ def mine_horn_rules(
     )
 
 
+def apply_horn_rules(
+    statements: DataFrame,
+    rules: DataFrame,
+    subj: str = "u",
+    rel: str = "r",
+    obj: str = "v",
+    min_conf: float = 0.0,
+    max_mid_degree: int | None = None,
+) -> DataFrame:
+    """KG completion by Horn-rule application — the consuming half of
+    mine_horn_rules: for every rule r1(x,y) ∧ r2(y,z) ⇒ r3(x,z) in
+    `rules`, propose the head triples whose body holds but whose head
+    fact is MISSING from the KG (link prediction by rules, Galárraga
+    2013 §6).  Each proposal carries the best supporting rule —
+    max (conf, r1, r2), a total order, so the attribution is
+    deterministic on both engines.
+
+    Scale shape: the 2-hop body is the same single y-join as the miner
+    (same `max_mid_degree` hub guard); the rule table is
+    relation-vocabulary sized and rides broadcast; missing-head checks
+    are one anti-join against the fact table on (r3, x, z); the
+    best-rule pick is a map-side-combinable max-struct groupBy — no
+    windows over entity-sized data.
+
+    Returns (x, r3, z, conf, via_r1, via_r2).
+    """
+    facts = (
+        statements.select(F.col(subj).alias("u"), F.col(rel).alias("r"),
+                          F.col(obj).alias("v"))
+        .distinct()
+        .transform(cut_lineage)
+    )
+    left = facts.select(F.col("r").alias("r1"), F.col("u").alias("x"),
+                        F.col("v").alias("y"))
+    right = facts.select(F.col("r").alias("r2"), F.col("u").alias("y"),
+                         F.col("v").alias("z"))
+    if max_mid_degree is not None:
+        n_in = left.groupBy("y").agg(F.count(F.lit(1)).alias("n_in"))
+        n_out = right.groupBy("y").agg(F.count(F.lit(1)).alias("n_out"))
+        ok = (
+            n_in.join(n_out, "y")
+            .filter(F.col("n_in") * F.col("n_out") <= max_mid_degree)
+            .select("y")
+        )
+        left = left.join(ok, "y", "left_semi")
+        right = right.join(ok, "y", "left_semi")
+    body = (
+        left.join(right, "y")
+        .filter(F.col("x") != F.col("z"))
+        .select("r1", "r2", "x", "z")
+        .distinct()
+    )
+    r = (rules.filter(F.col("conf") >= min_conf)
+         .select("r1", "r2", "r3", "conf").distinct())
+    cand = body.join(F.broadcast(r), ["r1", "r2"])
+    heads = facts.select(F.col("r").alias("r3"), F.col("u").alias("x"),
+                         F.col("v").alias("z"))
+    missing = cand.join(heads, ["r3", "x", "z"], "left_anti")
+    return (
+        missing.groupBy("x", "r3", "z")
+        .agg(F.max(F.struct(F.col("conf").alias("c"),
+                            F.col("r1").alias("a"),
+                            F.col("r2").alias("b"))).alias("m"))
+        .select("x", "r3", "z", F.col("m.c").alias("conf"),
+                F.col("m.a").alias("via_r1"), F.col("m.b").alias("via_r2"))
+    )
+
+
+def kg_diff(
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    keys: tuple = ("u", "r", "v"),
+) -> DataFrame:
+    """Snapshot diff between two KG edge sets — the audit primitive of
+    incremental construction (what did this delta-batch add / remove /
+    keep?).  One full-outer join on the edge key; both inputs are
+    deduplicated first so the status is set-semantics exact.
+
+    Returns key columns + status in ('added', 'removed', 'kept').
+    Scale shape: a single co-partitioned shuffle join on the key
+    columns; map-side-combined distinct on both sides.
+    """
+    kc = list(keys)
+    o = old_edges.select(*kc).distinct().withColumn("_o", F.lit(1))
+    n = new_edges.select(*kc).distinct().withColumn("_n", F.lit(1))
+    return (
+        o.join(n, kc, "full_outer")
+        .select(*kc,
+                F.when(F.col("_o").isNull(), F.lit("added"))
+                .when(F.col("_n").isNull(), F.lit("removed"))
+                .otherwise(F.lit("kept")).alias("status"))
+    )
+
+
 def clustering_coefficient(edges: DataFrame, src: str = "u",
                            dst: str = "v", decimals: int = 6) -> DataFrame:
     """Local clustering coefficient per node: lcc(v) =

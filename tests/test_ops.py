@@ -1498,6 +1498,54 @@ class TestHornRulesAndRrf:
         # y-hub bodies exist: 9 groundings, 1 covered by the head
         assert got[("r", "r", "r")] == (1, 9, round(1 / 9, 6))
 
+    def test_apply_horn_rules_proposes_missing_heads(self, spark):
+        # rule inc∘inc ⇒ inc holds on (a,b,c); body (d,f) via e has no
+        # head -> proposed; existing head (a,c) must NOT be proposed
+        from ebel_spark import graph as G
+        facts = [("a", "inc", "b"), ("b", "inc", "c"), ("a", "inc", "c"),
+                 ("d", "inc", "e"), ("e", "inc", "f")]
+        df = spark.createDataFrame(facts, ["u", "r", "v"])
+        rules = G.mine_horn_rules(df, min_support=1, min_conf=0.0)
+        got = {(r.x, r.r3, r.z): (r.conf, r.via_r1, r.via_r2)
+               for r in G.apply_horn_rules(df, rules).collect()}
+        assert ("d", "inc", "f") in got
+        assert got[("d", "inc", "f")] == (0.5, "inc", "inc")
+        assert ("a", "inc", "c") not in got
+
+    def test_apply_horn_rules_best_rule_attribution(self, spark):
+        # two rules propose the same head; the higher-conf one wins
+        from ebel_spark import graph as G
+        facts = [
+            # rule (p, q) => h with conf 1.0: body (a,c); head exists
+            # for the OTHER grounding only
+            ("a", "p", "b"), ("b", "q", "c"),
+            ("x", "p", "y"), ("y", "q", "z"), ("x", "h", "z"),
+            # rule (s, t) => h with conf 0.5: bodies (a,c) and (m,n);
+            # head exists for (m,n) only
+            ("a", "s", "k"), ("k", "t", "c"),
+            ("m", "s", "w"), ("w", "t", "n"), ("m", "h", "n"),
+        ]
+        df = spark.createDataFrame(facts, ["u", "r", "v"])
+        rules = G.mine_horn_rules(df, min_support=1, min_conf=0.0)
+        conf = {(r.r1, r.r2, r.r3): r.conf for r in rules.collect()}
+        assert conf[("p", "q", "h")] == 0.5 and conf[("s", "t", "h")] == 0.5
+        # equal conf -> max (r1, r2) string tiebreak: ('s','t') > ('p','q')
+        got = {(r.x, r.r3, r.z): (r.via_r1, r.via_r2)
+               for r in G.apply_horn_rules(df, rules).collect()}
+        assert got[("a", "h", "c")] == ("s", "t")
+
+    def test_kg_diff_statuses(self, spark):
+        from ebel_spark import graph as G
+        old = spark.createDataFrame(
+            [("a", "inc", "b"), ("b", "inc", "c")], ["u", "r", "v"])
+        new = spark.createDataFrame(
+            [("a", "inc", "b"), ("c", "dec", "d")], ["u", "r", "v"])
+        got = {(r.u, r.r, r.v): r.status
+               for r in G.kg_diff(old, new).collect()}
+        assert got == {("a", "inc", "b"): "kept",
+                       ("b", "inc", "c"): "removed",
+                       ("c", "dec", "d"): "added"}
+
     def test_rrf_fuse_hand_rankings(self, spark):
         a = spark.createDataFrame(
             [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
