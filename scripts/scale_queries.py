@@ -174,21 +174,23 @@ def graph_suite(spark, fr):
     def force(df):
         df.write.format("noop").mode("overwrite").save()
 
-    def paths(max_paths, max_unique_edges):
+    def paths(max_paths, max_unique_edges, max_subgraph_edges=None):
         return G.path_query(
             fr["edges"], fr["nodes"], min_len=1, max_len=2,
             start={"node_class": "protein", "namespace": "HGNC"},
             end={"node_class": "bio_object"},
             relations=["directly_increases", "directly_decreases"],
-            max_paths=max_paths, max_unique_edges=max_unique_edges)
+            max_paths=max_paths, max_unique_edges=max_unique_edges,
+            max_subgraph_edges=max_subgraph_edges)
 
     def paths_capped():
-        # production defaults REFUSE past the caps (PathExplosionError,
-        # the reference's own guard semantics) — at the big KG the
-        # refusal is the DESIGNED outcome; its cost is the linear
-        # count/edge-count precheck, which is what gets timed
+        # production caps REFUSE past budget (PathExplosionError, the
+        # reference's own guard semantics) — at the big KG the refusal
+        # is the DESIGNED outcome.  The r5 max_subgraph_edges pre-guard
+        # makes the refusal cost one count on the filtered scan instead
+        # of a full path enumeration (measured 86 s -> ~2 s)
         try:
-            force(paths(100_000, 1_000))
+            force(paths(100_000, 1_000, max_subgraph_edges=50_000))
             return "ok"
         except Exception as exc:
             return f"refused:{type(exc).__name__}"
@@ -216,6 +218,9 @@ def main() -> None:
     ap.add_argument("--graph-small", type=int, default=2000)
     ap.add_argument("--graph-big", type=int, default=20000)
     ap.add_argument("--scratch", default="/dev/shm")
+    ap.add_argument("--skip-corpus", action="store_true",
+                    help="re-measure only the graph family, merging into "
+                         "an existing json-out")
     ap.add_argument("--json-out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..",
         "BENCH_SCALE_QUERIES.json"))
@@ -239,6 +244,11 @@ def main() -> None:
         "host_memcpy_probes_start": start_probes,
         "queries": {},
     }
+    if args.skip_corpus and os.path.exists(args.json_out):
+        with open(args.json_out) as fd:
+            prior = json.load(fd)
+        result["queries"] = prior.get("queries", {})
+        result["corpus_rows"] = prior.get("corpus_rows")
     superlinear: list[str] = []
 
     def flush():
@@ -248,9 +258,13 @@ def main() -> None:
                        "partial": True}, fd, indent=1)
 
     try:
-        big_dir = os.path.join(scratch, "sfbig")
-        sizes = build_scaled_dir(spark, args.sf_dir, big_dir, args.factor)
-        result["corpus_rows"] = sizes
+        if args.skip_corpus:
+            big_dir = None
+        else:
+            big_dir = os.path.join(scratch, "sfbig")
+            sizes = build_scaled_dir(spark, args.sf_dir, big_dir,
+                                     args.factor)
+            result["corpus_rows"] = sizes
 
         def measure(name, fn, growth):
             cold_s, warm_s = time_query(fn, spark, args.sf_dir)
@@ -277,7 +291,7 @@ def main() -> None:
                   f"{'SUPERLINEAR' if flag else 'expected-superlinear' if expected else 'ok'}",
                   flush=True)
 
-        for name in CORPUS_QUERIES:
+        for name in ([] if args.skip_corpus else CORPUS_QUERIES):
             fn, _ = QUERIES[name]
             growth = (sizes["embeddings"] / sizes["embeddings_small"]
                       if name.startswith(("ann_", "semantic_"))
@@ -365,6 +379,9 @@ def main() -> None:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
+    # rebuild from the final table (covers --skip-corpus merged entries)
+    superlinear = [n for n, q in result["queries"].items()
+                   if q.get("superlinear")]
     result["superlinear_queries"] = superlinear
     result["host_memcpy_gbps_end"] = host_memcpy_gbps()
     result.pop("partial", None)

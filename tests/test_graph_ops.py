@@ -292,6 +292,27 @@ class TestPathQuery:
             G.path_query(chain, min_len=1, max_len=3,
                          max_unique_edges=2)
 
+    def test_subgraph_pre_guard(self, spark, chain):
+        # r5: the pre-guard refuses on the predicate-filtered subgraph
+        # size BEFORE any hop join (chain has 4 edges; the relation
+        # filter leaves 3, so the guard sees the POST-predicate count)
+        with pytest.raises(G.PathExplosionError, match="pre-guard"):
+            G.path_query(chain, min_len=1, max_len=2,
+                         max_subgraph_edges=2)
+        with pytest.raises(G.PathExplosionError, match="pre-guard"):
+            G.path_query(chain, min_len=1, max_len=2,
+                         relations=["increases", "decreases"],
+                         max_subgraph_edges=2)
+        # at or under the budget: identical results to no pre-guard
+        a = sorted(tuple(r) for r in G.path_query(
+            chain, min_len=1, max_len=2,
+            relations=["increases", "decreases"],
+            max_subgraph_edges=3).collect())
+        b = sorted(tuple(r) for r in G.path_query(
+            chain, min_len=1, max_len=2,
+            relations=["increases", "decreases"]).collect())
+        assert a == b
+
     def test_skip_limit_keyset(self, spark, chain):
         base = G.path_query(chain, min_len=1, max_len=2)
         all_rows = sorted(
