@@ -109,11 +109,11 @@ def main():
             scols = sdf.columns
         except Exception as exc:
             failures.append(name)
-            print(f"FAIL  {name:32s} spark error: {exc}")
+            print(f"\nFAIL  {name:32s} spark error: {exc}")
             continue
         dt = time.time() - t0
         if name not in oracles:
-            print(f"ROWS  {name:32s} rows={len(srows):6d}  ({dt:.1f}s)")
+            print(f"\nROWS  {name:32s} rows={len(srows):6d}  ({dt:.1f}s)")
             continue
         try:
             res = con.sql(oracles[name])
@@ -122,35 +122,35 @@ def main():
             orows = res.fetchall()
         except Exception as exc:
             failures.append(name)
-            print(f"FAIL  {name:32s} duckdb error: {exc}")
+            print(f"\nFAIL  {name:32s} duckdb error: {exc}")
             continue
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
             failures.append(name)
-            print(f"FAIL  {name:32s} schema {sorted(scols)} vs {sorted(ocols)}")
+            print(f"\nFAIL  {name:32s} schema {sorted(scols)} vs {sorted(ocols)}")
             continue
         mism = dtype_mismatches(scols, [t for _, t in sdf.dtypes],
                                 ocols, otypes)
         if mism:
             failures.append(name)
-            print(f"FAIL  {name:32s} dtype families differ: {mism}")
+            print(f"\nFAIL  {name:32s} dtype families differ: {mism}")
             continue
         if len(srows) != len(orows):
             failures.append(name)
-            print(f"FAIL  {name:32s} rowcount {len(srows)} vs {len(orows)}")
+            print(f"\nFAIL  {name:32s} rowcount {len(srows)} vs {len(orows)}")
             continue
         a = norm_rows(scols, [tuple(r) for r in srows])
         b = norm_rows(ocols, orows)
         if a != b:
             failures.append(name)
             ndiff = sum(1 for x, y in zip(a, b) if x != y)
-            print(f"FAIL  {name:32s} values differ ({ndiff}/{len(a)} rows)")
+            print(f"\nFAIL  {name:32s} values differ ({ndiff}/{len(a)} rows)")
             for x, y in list(zip(a, b))[:50]:
                 if x != y:
                     print("   spark :", x)
                     print("   duckdb:", y)
                     break
         else:
-            print(f"OK    {name:32s} rows={len(srows):6d}  ({dt:.1f}s)")
+            print(f"\nOK    {name:32s} rows={len(srows):6d}  ({dt:.1f}s)")
     print()
     if failures:
         print("FAILURES:", failures)

@@ -36,3 +36,44 @@ class TestDtypeCanary:
             ["bigint", "double", "string", "array<string>"],
             ["a", "b", "c", "d"],
             ["INTEGER", "DOUBLE", "VARCHAR", "VARCHAR[]"]) == []
+
+
+class TestScaleReplicaGenerator:
+    def test_replica_tags_survive_tokenizer_and_stay_disjoint(self, spark):
+        # the r5 rehearsal lesson, pinned: replica tags must ride INSIDE
+        # the [a-z0-9]+ token (a separator tag becomes its own
+        # interleaved token, degrades n-gram shingles and manufactures
+        # quadratic near-dup candidates).  Two builds must also be
+        # byte-deterministic.
+        import importlib.util as _ilu
+        import os as _os
+        spec = _ilu.spec_from_file_location(
+            "scale_queries",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), "scripts",
+                "scale_queries.py"))
+        sq = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(sq)
+
+        from ebel_spark.ops.text import tokens
+        from pyspark.sql import functions as F
+
+        import tempfile
+        import shutil
+        d1 = tempfile.mkdtemp(prefix="sqrep1_")
+        try:
+            sq.build_scaled_dir(spark, "/root/testdata/sf0.001", d1, 3)
+            docs = spark.read.parquet(f"{d1}/documents.parquet")
+            assert docs.count() % 3 == 0
+            # replica-1 tokens all end with the tag and are DISJOINT
+            # from replica-0's token vocabulary
+            n_docs = docs.count() // 3
+            t0 = (docs.filter(F.col("doc_id") < n_docs)
+                  .select(F.explode(tokens(F.col("text"))).alias("t")))
+            t1 = (docs.filter((F.col("doc_id") >= n_docs)
+                              & (F.col("doc_id") < 2 * n_docs))
+                  .select(F.explode(tokens(F.col("text"))).alias("t")))
+            assert t1.filter(~F.col("t").endswith("xr1")).count() == 0
+            assert t0.join(t1, "t", "left_semi").count() == 0
+        finally:
+            shutil.rmtree(d1, ignore_errors=True)
