@@ -1934,6 +1934,87 @@ def apply_horn_rules(
     )
 
 
+def cycle_edges(
+    edges: DataFrame,
+    max_len: int = 4,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Feedback-loop detection: every edge lying on a directed cycle of
+    length <= max_len, with the SHORTEST such cycle's length — edge
+    (u, v) is on an L-cycle iff v reaches u in L-1 hops.  Feedback
+    loops are first-class objects in causal BEL networks (activation/
+    inhibition circuits); the reference can only reach them through
+    hand-written path queries.
+
+    Self-loops are excluded up front (they are trivially 1-cycles and
+    would dominate the pair table).
+
+    Scale shape: a bounded-hop pair closure — per level ONE equi-join
+    of the frontier against the edge list plus a per-(a, b) anti-join
+    against the visited pair set (first-visit = shortest hops), lineage
+    cut per level, max_len bounds the shuffle count.  The pair table is
+    the cost (sum of k-hop neighborhoods); max_len <= ~4 keeps it
+    near-linear on sparse KGs, and hub fanout can be pre-capped by
+    filtering the edge list like every other wedge op here.
+
+    Returns (u, v, cycle_len) for edges on a cycle, cycle_len >= 2.
+    """
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .filter(F.col(src) != F.col(dst)).distinct()
+         .transform(cut_lineage))
+    reach = e.select(F.col("u").alias("a"), F.col("v").alias("b"),
+                     F.lit(1).alias("hops"))
+    frontier = reach
+    for k in range(2, max_len):
+        nxt = (
+            frontier.select("a", F.col("b").alias("u"))
+            .join(e, "u")
+            .select("a", F.col("v").alias("b"))
+            .distinct()
+            .join(reach.select("a", "b"), ["a", "b"], "left_anti")
+            .withColumn("hops", F.lit(k))
+            .transform(cut_lineage)
+        )
+        reach = reach.unionByName(nxt)
+        frontier = nxt
+    back = reach.select(F.col("a").alias("v"), F.col("b").alias("u"),
+                        "hops")
+    return (
+        e.join(back, ["u", "v"])
+        .groupBy("u", "v")
+        .agg((F.min("hops") + 1).cast("long").alias("cycle_len"))
+    )
+
+
+def edge_first_assertion(
+    statements: DataFrame,
+    subj: str = "subject_bel",
+    rel: str = "relation",
+    obj: str = "object_bel",
+    pub_date: str = "citation_pub_date",
+) -> DataFrame:
+    """Knowledge-evolution profile: for every distinct (subject,
+    relation, object) triple, the year it was FIRST asserted and how
+    many statements assert it — when did the KG learn each fact, the
+    rollup behind literature-growth timelines (bel.py:1505-1512 only
+    counts per year; this keys by triple).  One map-side-combinable
+    min/count aggregation on the statement table.
+
+    Returns (subject_bel, relation, object_bel, first_year,
+    n_statements); statements without a citation date are excluded.
+    """
+    return (
+        statements.filter(F.col(pub_date).isNotNull()
+                          & F.col(rel).isNotNull())
+        .groupBy(F.col(subj).alias("subject_bel"),
+                 F.col(rel).alias("relation"),
+                 F.col(obj).alias("object_bel"))
+        .agg(F.min(F.substring(F.col(pub_date), 1, 4)).alias("first_year"),
+             F.count(F.lit(1)).cast("long").alias("n_statements"))
+    )
+
+
 def kg_diff(
     old_edges: DataFrame,
     new_edges: DataFrame,

@@ -5158,6 +5158,77 @@ def bel_rule_proposals(spark, sf_dir):
     return G.apply_horn_rules(s, rules)
 
 
+def _cycle_oracle_sql(max_len: int = 4) -> str:
+    """Chained-CTE DuckDB twin of graph.cycle_edges: per-level frontier
+    pairs anti-joined against the visited pair set (first visit =
+    shortest hops), then the back-edge join + min cycle length."""
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT subject_bel AS u, object_bel AS v
+  FROM read_parquet('{_OB}/statements/*.parquet')
+  WHERE edge_key IS NOT NULL AND NOT nested
+    AND subject_bel <> object_bel
+), r1 AS MATERIALIZED (SELECT u AS a, v AS b, 1 AS hops FROM e)"""
+    parts = [head]
+    for k in range(2, max_len):
+        p = k - 1
+        parts.append(f""",
+f{k} AS MATERIALIZED (
+  SELECT DISTINCT r.a, e.v AS b
+  FROM r{p} r JOIN e ON e.u = r.b
+  WHERE r.hops = {p}
+), r{k} AS MATERIALIZED (
+  SELECT a, b, hops FROM r{p}
+  UNION ALL
+  SELECT f.a, f.b, {k} AS hops FROM f{k} f
+  WHERE NOT EXISTS (SELECT 1 FROM r{p} r
+                    WHERE r.a = f.a AND r.b = f.b))""")
+    last = f"r{max_len - 1}"
+    parts.append(f"""
+SELECT e.u, e.v, CAST(min(r.hops) + 1 AS BIGINT) AS cycle_len
+FROM e JOIN {last} r ON r.a = e.v AND r.b = e.u
+GROUP BY e.u, e.v""")
+    return "".join(parts)
+
+
+@q("bel_feedback_edges", _cycle_oracle_sql(max_len=4))
+def bel_feedback_edges(spark, sf_dir):
+    """Feedback-loop edges of the causal KG (graph.cycle_edges): every
+    edge on a directed cycle of length <= 4 with its shortest cycle
+    length — activation/inhibition circuits, the structures a causal
+    reasoner must treat specially.  Bounded-hop pair closure with
+    per-level first-visit anti-joins; the oracle unrolls the identical
+    levels into chained CTEs."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    e = (
+        st.filter(F.col("edge_key").isNotNull() & ~F.col("nested"))
+        .select(F.col("subject_bel").alias("u"),
+                F.col("object_bel").alias("v"))
+    )
+    return G.cycle_edges(e, max_len=4)
+
+
+@q("bel_edge_first_year", f"""
+SELECT subject_bel, relation, object_bel,
+       min(substr(citation_pub_date, 1, 4)) AS first_year,
+       CAST(count(*) AS BIGINT) AS n_statements
+FROM read_parquet('{_OB}/statements/*.parquet')
+WHERE citation_pub_date IS NOT NULL AND relation IS NOT NULL
+GROUP BY subject_bel, relation, object_bel
+""")
+def bel_edge_first_year(spark, sf_dir):
+    """First-assertion year + assertion count per distinct triple
+    (graph.edge_first_assertion) — when the KG learned each fact, the
+    per-triple refinement of bel_pub_year_stats.  One min/count
+    aggregation, map-side combined."""
+    from . import graph as G
+    from . import parse as P
+    st = P.statements_table(_bel_oracle_parsed(spark).filter("ok"))
+    return G.edge_first_assertion(st)
+
+
 @q("bel_kg_diff", f"""
 WITH oldkg AS MATERIALIZED (
   SELECT DISTINCT subject_bel AS u, relation AS r, object_bel AS v
@@ -5271,15 +5342,17 @@ def ann_hybrid_rrf(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _FRONT = [
-    # 18 round-3 additions never checked by any driver round (VERDICT r3 #1)
-    "bel_edge_support", "bel_random_walks", "bel_walk_pairs",
-    "doc_gopher_rules", "doc_dsir_weights",
+    # r3-addition stragglers kept for a second hard row (rest rotated
+    # out after their r4 green)
+    "bel_random_walks", "bel_walk_pairs",
+    "doc_dsir_weights",
     "doc_dsir_resample", "doc_ccnet_buckets", "doc_line_dedup",
     "doc_boundary_overlap", "doc_stratified_sample", "doc_token_entropy",
     "embedding_outliers",
     # round-5 new queries (r4-greens paths_upto_3 etc. rotated out)
     "bel_ktruss_fixpoint", "bel_sssp_causal", "bel_reactome_pathways",
     "bel_intact_edges", "bel_rule_proposals", "bel_kg_diff",
+    "bel_feedback_edges", "bel_edge_first_year",
     # round-4 new queries (registered below if present)
     "bel_snp_genes", "ann_ivfpq_residual_topk", "ann_lsh_multiprobe_topk",
     "ann_recall_multiprobe", "bel_horn_rules", "ann_hybrid_rrf",

@@ -1534,6 +1534,50 @@ class TestHornRulesAndRrf:
                for r in G.apply_horn_rules(df, rules).collect()}
         assert got[("a", "h", "c")] == ("s", "t")
 
+    def test_cycle_edges_shortest_lengths(self, spark):
+        # 2-cycle a<->b, 3-cycle c->d->e->c, a tail f->a (no cycle),
+        # self-loop g->g (excluded)
+        from ebel_spark import graph as G
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("c", "d"), ("d", "e"), ("e", "c"),
+             ("f", "a"), ("g", "g")], ["u", "v"])
+        got = {(r.u, r.v): r.cycle_len
+               for r in G.cycle_edges(e, max_len=4).collect()}
+        assert got == {("a", "b"): 2, ("b", "a"): 2,
+                       ("c", "d"): 3, ("d", "e"): 3, ("e", "c"): 3}
+        # max_len below the 3-cycle hides it
+        got2 = {(r.u, r.v): r.cycle_len
+                for r in G.cycle_edges(e, max_len=2).collect()}
+        assert got2 == {("a", "b"): 2, ("b", "a"): 2}
+
+    def test_cycle_edges_shortest_wins_over_longer(self, spark):
+        # a->b and b->a PLUS b->x->a: edge (a,b) is on both a 2-cycle
+        # and a 3-cycle -> reports 2
+        from ebel_spark import graph as G
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "x"), ("x", "a")], ["u", "v"])
+        got = {(r.u, r.v): r.cycle_len
+               for r in G.cycle_edges(e, max_len=4).collect()}
+        assert got[("a", "b")] == 2
+        assert got[("b", "x")] == 3 and got[("x", "a")] == 3
+
+    def test_edge_first_assertion(self, spark):
+        from ebel_spark import graph as G
+        rows = [
+            ("a", "inc", "b", "2001-05-01"),
+            ("a", "inc", "b", "1999-01-01"),
+            ("a", "inc", "b", None),           # dateless excluded
+            ("c", "dec", "d", "2010-12-31"),
+        ]
+        df = spark.createDataFrame(
+            rows, ["subject_bel", "relation", "object_bel",
+                   "citation_pub_date"])
+        got = {(r.subject_bel, r.relation, r.object_bel):
+               (r.first_year, r.n_statements)
+               for r in G.edge_first_assertion(df).collect()}
+        assert got == {("a", "inc", "b"): ("1999", 2),
+                       ("c", "dec", "d"): ("2010", 1)}
+
     def test_kg_diff_statuses(self, spark):
         from ebel_spark import graph as G
         old = spark.createDataFrame(
