@@ -76,6 +76,13 @@ HEADLINE_QUERIES = [
     # rollups) and node2vec walks (2-path biased transition table)
     "bel_horn_rules",
     "bel_node2vec_walks",
+    # round-5 additions: weighted SSSP rounds, the Reactome enrichment
+    # join over the real linking chain, Horn-rule application (KG
+    # completion), and bounded cycle detection
+    "bel_sssp_causal",
+    "bel_reactome_pathways",
+    "bel_rule_proposals",
+    "bel_feedback_edges",
 ]
 
 
